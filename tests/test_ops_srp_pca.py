@@ -51,12 +51,15 @@ class TestSRP:
         the property the reference's SRP relies on for layer selection."""
         from visreps_tpu.ops.rdm import compute_rdm, compute_rdm_correlation
 
-        x = rng.randn(40, 3000).astype(np.float32)
+        # Structured (low-rank + noise) activations: the realistic case
+        # where the RDM carries signal above the JL distortion floor.
+        z = rng.randn(40, 10).astype(np.float32)
+        x = (z @ rng.randn(10, 3000) + 0.5 * rng.randn(40, 3000)).astype(np.float32)
         srp = SRPTransform(k=1024, seed=2)
         rdm_orig = compute_rdm(x)
         rdm_proj = compute_rdm(np.asarray(srp(x)))
         score = compute_rdm_correlation(rdm_orig, rdm_proj, correlation="spearman")
-        assert score > 0.9
+        assert score > 0.95
 
 
 class TestSRHT:

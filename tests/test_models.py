@@ -1,0 +1,143 @@
+"""Model architecture tests: shapes, tap contract, param counts, modes.
+
+Mirrors the reference's architecture facts: CustomCNN ≈ 34M params at
+1000 classes (manuscript/methods.md:56), 14 extraction points for 7
+return_nodes (models/utils.py:49-53), frozen-BN semantics.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visreps_tpu.models.extractor import expand_return_nodes
+from visreps_tpu.models.zoo import TORCHVISION_RETURN_NODES, init_model
+
+
+def _fwd(state, x, **kw):
+    return state.module.apply(state.variables, jnp.asarray(x), **kw)
+
+
+class TestCustomCNN:
+    @pytest.fixture(scope="class")
+    def state(self):
+        return init_model("CustomCNN", 1000, seed=0)
+
+    def test_param_count_close_to_reference(self, state):
+        # Reference: ~34M params at 1000 classes (manuscript/methods.md:56)
+        n = state.num_params()
+        assert 30e6 < n < 40e6, n
+
+    def test_logit_shape(self, state):
+        x = np.zeros((2, 224, 224, 3), np.float32)
+        logits, taps = _fwd(state, x, train=False, capture=())
+        assert logits.shape == (2, 1000)
+        assert taps == {}
+
+    def test_14_extraction_points(self, state):
+        nodes = ["conv1", "conv2", "conv3", "conv4", "conv5", "fc1", "fc2"]
+        points, alias = expand_return_nodes(state.module, nodes, extract_pre_and_post=True)
+        assert len(points) == 14
+        x = np.random.RandomState(0).randn(2, 224, 224, 3).astype(np.float32)
+        _, taps = _fwd(state, x, train=False, capture=tuple(points))
+        assert set(taps) == set(points)
+        # conv tap spatial shapes (NHWC): conv1 55x55x96 ... conv5 13x13x256
+        assert taps["conv1_pre"].shape == (2, 55, 55, 96)
+        assert taps["conv5_post"].shape == (2, 13, 13, 256)
+        assert taps["fc2_post"].shape == (2, 4096)
+
+    def test_post_is_relu_of_normed_pre(self, state):
+        x = np.random.RandomState(1).randn(2, 224, 224, 3).astype(np.float32)
+        _, taps = _fwd(state, x, train=False, capture=("conv3_pre", "conv3_post"))
+        assert float(jnp.min(taps["conv3_post"])) >= 0.0
+        assert float(jnp.min(taps["conv3_pre"])) < 0.0
+
+    def test_trainable_mask(self):
+        state = init_model("CustomCNN", 10, seed=0, cfg={"arch": {"conv_trainable": "00111", "fc_trainable": "110"}})
+        mask = state.module.trainable_mask()
+        assert mask == {
+            "conv1": False, "conv2": False, "conv3": True, "conv4": True, "conv5": True,
+            "fc1": True, "fc2": True, "fc3": False,
+        }
+
+    def test_dropout_requires_rng_only_in_train(self, state):
+        x = np.zeros((2, 224, 224, 3), np.float32)
+        logits, _ = _fwd(state, x, train=False, capture=())
+        out = state.module.apply(
+            state.variables, jnp.asarray(x), train=True, capture=(),
+            rngs={"dropout": jax.random.PRNGKey(0)}, mutable=["batch_stats"],
+        )
+        (logits_t, _), updates = out
+        assert "batch_stats" in updates
+
+
+class TestTinyCustomCNN:
+    def test_shapes(self):
+        state = init_model("TinyCustomCNN", 200, seed=0)
+        x = np.zeros((2, 64, 64, 3), np.float32)
+        logits, taps = _fwd(state, x, train=False, capture=("conv5_post", "fc1_post"))
+        assert logits.shape == (2, 200)
+        assert taps["fc1_post"].shape == (2, 2048)
+
+
+class TestStandardModels:
+    def test_alexnet_shapes_and_params(self):
+        state = init_model("AlexNet", 1000, seed=0)
+        # torchvision alexnet has 61.1M params
+        assert 57e6 < state.num_params() < 65e6
+        x = np.zeros((2, 224, 224, 3), np.float32)
+        logits, taps = _fwd(state, x, train=False,
+                            capture=("conv1_pre", "conv5_post", "fc2_post"))
+        assert logits.shape == (2, 1000)
+        assert taps["conv1_pre"].shape == (2, 55, 55, 64)
+        assert taps["conv5_post"].shape == (2, 13, 13, 256)
+
+    def test_resnet18_shapes(self):
+        state = init_model("ResNet18", 1000, seed=0)
+        assert 11e6 < state.num_params() < 12.5e6  # torch: 11.7M
+        x = np.zeros((1, 224, 224, 3), np.float32)
+        logits, taps = _fwd(state, x, train=False, capture=("conv1", "block8", "fc1"))
+        assert logits.shape == (1, 1000)
+        assert taps["conv1"].shape == (1, 112, 112, 64)
+        assert taps["block8"].shape == (1, 7, 7, 512)
+
+    def test_resnet50_param_count(self):
+        state = init_model("ResNet50", 1000, seed=0)
+        assert 24e6 < state.num_params() < 27e6  # torch: 25.6M
+
+    def test_vit_shapes(self):
+        state = init_model("ViTBase", 1000, seed=0)
+        assert 80e6 < state.num_params() < 92e6  # torch: 86.6M
+        x = np.zeros((1, 224, 224, 3), np.float32)
+        logits, taps = _fwd(state, x, train=False, capture=("patch_embed", "block12", "head"))
+        assert logits.shape == (1, 1000)
+        assert taps["block12"].shape == (1, 197, 768)
+
+    def test_vgg16_param_count(self):
+        state = init_model("VGG16", 1000, seed=0)
+        assert 130e6 < state.num_params() < 145e6  # torch: 138M
+
+    def test_ecnet_weight_tying(self):
+        state = init_model("ECTiedNet", 10, seed=0)
+        x = np.zeros((1, 224, 224, 3), np.float32)
+        logits, taps = _fwd(state, x, train=False, capture=("block1", "block4"))
+        assert logits.shape == (1, 10)
+        # tied weights: only ONE block's params exist
+        assert "block" in state.params
+        assert "block_1" not in state.params and "block2" not in state.params
+
+
+class TestReturnNodeExpansion:
+    def test_resnet_nodes_single_points(self):
+        state = init_model("ResNet18", 10, seed=0)
+        points, alias = expand_return_nodes(
+            state.module, TORCHVISION_RETURN_NODES["ResNet18"], extract_pre_and_post=True
+        )
+        # ResNet taps have no pre/post split (reference keeps single entries)
+        assert points == TORCHVISION_RETURN_NODES["ResNet18"]
+
+    def test_post_only_mode_plain_names(self):
+        state = init_model("AlexNet", 10, seed=0)
+        points, alias = expand_return_nodes(state.module, ["conv1", "fc1"], extract_pre_and_post=False)
+        assert points == ["conv1_post", "fc1_post"]
+        assert alias == {"conv1_post": "conv1", "fc1_post": "fc1"}

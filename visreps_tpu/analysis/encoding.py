@@ -1,0 +1,184 @@
+"""Encoding score: voxelwise ridge prediction, all on device.
+
+Reference parity: visreps/analysis/encoding_score.py:65-260 — protocol
+constants preserved: alphas = logspace(−10,10,20), 5-fold CV,
+fit_intercept=False, fit-only z-norm stats (no leakage), seeded 80/20
+fit/val split for layer selection, metric = mean per-voxel Pearson r,
+bootstrap 1000 × 90% over CACHED predictions (no refit), optional
+train-fitted PCA reconstruction of the best layer.
+
+TPU redesign: himalaya's per-alpha CUDA refits become one Gram
+factorization + diagonal reweighting per fold (ops/ridge.py), and the
+bootstrap is a single vmapped gather+correlate program instead of 1000
+serial scoring calls.
+"""
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visreps_tpu.core.logging import rprint
+from visreps_tpu.ops.bootstrap import percentile_ci
+from visreps_tpu.ops.ridge import correlation_score, default_alphas, ridge_cv
+from visreps_tpu.ops.znorm import znorm, znorm_fit
+
+logger = logging.getLogger(__name__)
+
+
+def _flatten_f32(acts: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {
+        l: (a.reshape(a.shape[0], -1) if a.ndim > 2 else a).astype(np.float32)
+        for l, a in acts.items()
+    }
+
+
+def _fit_and_score(x_tr, y_tr, x_te, y_te, alphas):
+    """Fit RidgeCV on train, predict test, return (pred, mean Pearson r)."""
+    model = ridge_cv(x_tr, y_tr, alphas=alphas)
+    pred = model.predict(jnp.asarray(x_te))
+    score = float(jnp.mean(correlation_score(jnp.asarray(y_te), pred)))
+    return pred, score
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _bootstrap_pred_scores(y_true, pred, idx, chunk: int = 64):
+    def one(ix):
+        return jnp.mean(correlation_score(y_true[ix], pred[ix]))
+
+    n_boot = idx.shape[0]
+    n_chunks = -(-n_boot // chunk)
+    pad = n_chunks * chunk - n_boot
+    idx_p = jnp.concatenate([idx, idx[:pad]]) if pad else idx
+    scores = jax.lax.map(jax.vmap(one), idx_p.reshape(n_chunks, chunk, -1))
+    return scores.reshape(-1)[:n_boot]
+
+
+def compute_encoding_score(
+    selection,
+    evaluation,
+    bootstrap: bool = True,
+    n_bootstrap: int = 1000,
+    seed: int = 42,
+    verbose: bool = False,
+    reconstruct_pca_k: int | None = None,
+) -> List[Dict]:
+    """Select best layer on train (80/20 fit/val), refit full, test.
+
+    Same return contract as the reference (single-element list).
+    Does NOT mutate the input AlignmentData objects.
+    """
+    compare_method = "pearson"  # always Pearson r (reference line 106)
+    rng = np.random.RandomState(seed)
+    alphas = default_alphas()
+
+    train_acts = _flatten_f32(selection.activations)
+    test_acts = _flatten_f32(evaluation.activations)
+    y_train_raw = np.asarray(selection.neural, np.float32)
+    y_test_raw = np.asarray(evaluation.neural, np.float32)
+
+    n_train, n_test = y_train_raw.shape[0], y_test_raw.shape[0]
+    n_voxels = y_train_raw.shape[1]
+    if verbose:
+        rprint(
+            f"Train/test encoding: {n_train} train, {n_test} test, {n_voxels} voxels",
+            style="info",
+        )
+
+    # ── 1. Layer selection on seeded 80/20 fit/val split ────────
+    split = int(0.8 * n_train)
+    perm = rng.permutation(n_train)
+    fit_idx, val_idx = perm[:split], perm[split:]
+
+    y_fit = jnp.asarray(y_train_raw[fit_idx])
+    y_fit_normed, y_mean, y_std = znorm_fit(y_fit)
+    y_val_normed = znorm(jnp.asarray(y_train_raw[val_idx]), y_mean, y_std)
+
+    selection_scores = []
+    best_layer, best_score = None, -float("inf")
+    for layer, acts in train_acts.items():
+        x_fit_normed, x_mean, x_std = znorm_fit(jnp.asarray(acts[fit_idx]))
+        x_val_normed = znorm(jnp.asarray(acts[val_idx]), x_mean, x_std)
+        _, score = _fit_and_score(x_fit_normed, y_fit_normed, x_val_normed, y_val_normed, alphas)
+        selection_scores.append({"layer": layer, "score": score})
+        if verbose:
+            rprint(f"  [select] {layer:<15} r={score:.4f}  ({acts.shape[1]} features)", style="info")
+        if score > best_score:
+            best_score, best_layer = score, layer
+
+    if verbose:
+        rprint(
+            f"  Best layer: {best_layer} (val r={best_score:.4f}, "
+            f"{train_acts[best_layer].shape[1]} features, {n_voxels} voxels)",
+            style="highlight",
+        )
+
+    # ── 1b. Optional train-fitted PCA reconstruction ────────────
+    x_train_best = train_acts[best_layer]
+    x_test_best = test_acts[best_layer]
+    if reconstruct_pca_k is not None:
+        from visreps_tpu.ops.pca import fit_pca
+
+        rprint(
+            f"  Reconstructing {best_layer} from {reconstruct_pca_k} PCs (train-fitted)",
+            style="info",
+        )
+        pca = fit_pca(jnp.asarray(x_train_best), min(reconstruct_pca_k, x_train_best.shape[1]))
+        x_train_best = np.asarray(pca.reconstruct(jnp.asarray(x_train_best)))
+        x_test_best = np.asarray(pca.reconstruct(jnp.asarray(x_test_best)))
+
+    # ── 2. Refit on FULL train (full-train z-norm stats) ────────
+    x_train_normed, x_mean, x_std = znorm_fit(jnp.asarray(x_train_best))
+    x_test_normed = znorm(jnp.asarray(x_test_best), x_mean, x_std)
+    y_train_normed, ym, ys = znorm_fit(jnp.asarray(y_train_raw))
+    y_test_normed = znorm(jnp.asarray(y_test_raw), ym, ys)
+
+    pred_test, point_estimate = _fit_and_score(
+        x_train_normed, y_train_normed, x_test_normed, y_test_normed, alphas
+    )
+    voxel_scores = correlation_score(y_test_normed, pred_test)
+    median_r = float(jnp.median(voxel_scores))
+    if verbose:
+        rprint(
+            f"  Test encoding: mean r={point_estimate:.4f}, median r={median_r:.4f} "
+            f"({n_voxels} voxels)",
+            style="highlight",
+        )
+
+    # ── 3. Bootstrap over cached predictions ────────────────────
+    ci_low = ci_high = None
+    bootstrap_scores_list = None
+    if bootstrap:
+        # The reference continues the SAME RandomState used for the
+        # fit/val split draw (encoding_score.py:107,233); reproduce by
+        # drawing from `rng` rather than a fresh seed.
+        idx = np.stack(
+            [rng.choice(n_test, size=int(n_test * 0.9), replace=False) for _ in range(n_bootstrap)]
+        ).astype(np.int32)
+        scores = np.asarray(
+            _bootstrap_pred_scores(y_test_normed, pred_test, jnp.asarray(idx)), np.float64
+        )
+        ci_low, ci_high = percentile_ci(scores)
+        bootstrap_scores_list = scores.tolist()
+
+    msg = f"  Encoding  | {best_layer} = {point_estimate:.4f}"
+    if bootstrap:
+        msg += f"  [95% CI: {ci_low:.4f}, {ci_high:.4f}]"
+    rprint(msg, style="highlight")
+
+    result = {
+        "layer": best_layer,
+        "compare_method": compare_method,
+        "score": point_estimate,
+        "ci_low": ci_low,
+        "ci_high": ci_high,
+        "analysis": "encoding_score",
+        "layer_selection_scores": selection_scores,
+    }
+    if bootstrap_scores_list is not None:
+        result["bootstrap_scores"] = bootstrap_scores_list
+    return [result]

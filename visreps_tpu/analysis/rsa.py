@@ -1,0 +1,170 @@
+"""Train/test RSA protocol: layer selection → exact re-extraction →
+bootstrap CIs — all correlation math on device.
+
+Reference parity: visreps/analysis/rsa.py:132-305 (compute_rsa,
+_concept_average_exact). Protocol constants preserved: Pearson RDMs
+for selection and evaluation; spearman/kendall comparison; optional
+n_select subsample (seed rng); bootstrap 1000 × 90% w/o replacement →
+2.5/97.5 percentiles.
+
+TPU speedup: when all layers share the SRP output dim, layer-selection
+RDMs are built as ONE vmapped batch (L, n, n) and compared in a second
+vmap — replacing the reference's per-layer torch+scipy loop.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visreps_tpu.core.logging import rprint
+from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation, percentile_ci
+from visreps_tpu.ops.rdm import compute_rdm, compute_rdm_correlation, upper_triangle
+from visreps_tpu.ops.stats import kendall_tau_a, pearson_corr, spearman_corr
+
+logger = logging.getLogger(__name__)
+
+_CORR = {"pearson": pearson_corr, "spearman": spearman_corr, "kendall": kendall_tau_a}
+
+
+def _flat(a: np.ndarray) -> np.ndarray:
+    return a.reshape(a.shape[0], -1) if a.ndim > 2 else a
+
+
+def select_best_layer(acts: Dict[str, np.ndarray], neural: np.ndarray, method: str,
+                      sel_idx: np.ndarray | None = None):
+    """Score every layer's RDM against the neural RDM; return scores.
+
+    Same-width layers are scored in a single batched device program.
+    """
+    method = method.lower()
+    if sel_idx is not None:
+        neural = neural[sel_idx]
+    neural_rdm = compute_rdm(jnp.asarray(neural))
+
+    names = list(acts.keys())
+    mats = [_flat(acts[n])[sel_idx] if sel_idx is not None else _flat(acts[n]) for n in names]
+    dims = {m.shape[1] for m in mats}
+
+    scores: Dict[str, float] = {}
+    if len(dims) == 1 and len(names) > 1:
+        stacked = jnp.asarray(np.stack(mats))
+        rdms = jax.lax.map(compute_rdm, stacked)
+        corr_fn = _CORR[method]
+        tri_neural = upper_triangle(neural_rdm)
+        vals = jax.lax.map(lambda r: corr_fn(upper_triangle(r), tri_neural), rdms)
+        for name, v in zip(names, np.asarray(vals)):
+            scores[name] = float(v)
+    else:
+        for name, m in zip(names, mats):
+            rdm = compute_rdm(jnp.asarray(m))
+            scores[name] = compute_rdm_correlation(rdm, neural_rdm, correlation=method)
+    return scores
+
+
+def compute_rsa(
+    cfg: Dict,
+    selection,
+    evaluation,
+    n_select: int | None = None,
+    bootstrap: bool = True,
+    n_bootstrap: int = 1000,
+    seed: int = 42,
+    verbose: bool = False,
+    re_extract_fn=None,
+) -> List[Dict]:
+    """Select best layer on train, evaluate on test (+ bootstrap CIs).
+
+    Reference: visreps/analysis/rsa.py:132-281 — same return contract:
+    single-element list with layer, compare_method, score, ci_low/high,
+    analysis, layer_selection_scores, bootstrap_scores.
+    """
+    method = cfg.get("compare_method", "spearman").lower()
+    rng = np.random.RandomState(seed)
+
+    n_train = selection.neural.shape[0]
+    n_test = evaluation.neural.shape[0]
+
+    if n_select is not None and n_select < n_train:
+        sel_idx = rng.choice(n_train, size=n_select, replace=False)
+        sel_label = f"subsampling {n_select}"
+    else:
+        sel_idx = np.arange(n_train)
+        sel_label = f"using all {n_train}"
+
+    if verbose:
+        rprint(
+            f"Train/test RSA: {n_train} train, {n_test} test, {sel_label} for layer selection",
+            style="info",
+        )
+
+    # ── 1. Layer selection ─────────────────────────────────────
+    scores = select_best_layer(selection.activations, selection.neural, method, sel_idx)
+    selection_scores = [{"layer": l, "score": s} for l, s in scores.items()]
+    best_layer = max(scores, key=lambda l: scores[l] if scores[l] == scores[l] else -np.inf)
+    if verbose:
+        for l, s in scores.items():
+            rprint(f"  [select] {l:<15} RSA = {s:.4f}", style="info")
+        rprint(f"  Best layer: {best_layer} (score={scores[best_layer]:.4f})", style="highlight")
+
+    # ── 2. Test evaluation (optional exact re-extraction) ──────
+    if re_extract_fn is not None:
+        rprint(f"  Re-extracting {best_layer} without SRP for exact test RDMs...", style="info")
+        exact_acts, _ = re_extract_fn(best_layer, evaluation.stimulus_ids)
+        test_acts_flat = _flat(np.asarray(exact_acts))
+    else:
+        test_acts_flat = _flat(evaluation.activations[best_layer])
+
+    test_neural_rdm = compute_rdm(jnp.asarray(evaluation.neural))
+    test_model_rdm = compute_rdm(jnp.asarray(test_acts_flat))
+    point_estimate = compute_rdm_correlation(test_model_rdm, test_neural_rdm, correlation=method)
+    if verbose:
+        rprint(f"  Test RSA = {point_estimate:.4f}", style="highlight")
+
+    # ── 3. Bootstrap CIs ────────────────────────────────────────
+    ci_low = ci_high = None
+    bootstrap_scores_list = None
+    if bootstrap:
+        boot = bootstrap_rdm_correlation(
+            test_model_rdm, test_neural_rdm,
+            n_bootstrap=n_bootstrap, seed=seed, method=method,
+        )
+        ci_low, ci_high = percentile_ci(boot)
+        bootstrap_scores_list = boot.tolist()
+
+    msg = f"  {method.capitalize():<10}| {best_layer} = {point_estimate:.4f}"
+    if bootstrap:
+        msg += f"  [95% CI: {ci_low:.4f}, {ci_high:.4f}]"
+    rprint(msg, style="highlight")
+
+    result = {
+        "layer": best_layer,
+        "compare_method": method,
+        "score": point_estimate,
+        "ci_low": ci_low,
+        "ci_high": ci_high,
+        "analysis": "rsa",
+        "layer_selection_scores": selection_scores,
+    }
+    if bootstrap_scores_list is not None:
+        result["bootstrap_scores"] = bootstrap_scores_list
+    return [result]
+
+
+def concept_average_exact(raw_acts: np.ndarray, raw_ids, data) -> np.ndarray:
+    """Concept-average exact per-image activations in AlignmentData's
+    concept order. Reference: rsa.py:284-305."""
+    raw_acts = np.asarray(raw_acts)
+    id_to_idx = {str(k): i for i, k in enumerate(raw_ids)}
+    out = []
+    for concept in data.stimulus_ids:
+        img_ids = data.concept_image_ids[concept]
+        idx = [id_to_idx[sid] for sid in img_ids if sid in id_to_idx]
+        if idx:
+            out.append(raw_acts[np.asarray(idx)].astype(np.float32).mean(axis=0))
+        else:
+            out.append(np.zeros(raw_acts.shape[1], np.float32))
+    return np.stack(out).astype(raw_acts.dtype)

@@ -1,0 +1,144 @@
+"""Threaded prefetching batch loader (the DataLoader replacement).
+
+The reference leans on torch DataLoader worker PROCESSES with
+pin_memory + prefetch_factor (visreps/dataloaders/obj_cls.py:256-269).
+Here decode/transform runs in a thread pool (PIL decode releases the
+GIL) with a bounded prefetch queue of fully-assembled numpy batches;
+the device pipeline (models/extractor.py, train/trainer.py) overlaps
+H2D transfer and compute one batch deep on top of this.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+
+class PrefetchLoader:
+    """Iterates (batch_array, meta_list) with background batch assembly.
+
+    dataset: indexable returning (np.ndarray HWC, meta) per item.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 128,
+        shuffle: bool = False,
+        num_workers: int = 16,
+        prefetch: int = 4,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if not self.shuffle:
+            return np.arange(n)
+        rng = np.random.RandomState(self.seed + self._epoch)
+        return rng.permutation(n)
+
+    def __iter__(self):
+        order = self._index_order()
+        self._epoch += 1
+        n = len(order)
+        bounds = range(0, n - self.batch_size + 1 if self.drop_last else n, self.batch_size)
+        batches = [order[i: i + self.batch_size] for i in bounds]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for idxs in batches:
+                    if stop.is_set():
+                        break
+                    items = list(pool.map(self.dataset.__getitem__, idxs))
+                    arrs, metas = zip(*items)
+                    q.put((np.stack(arrs), list(metas)))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+
+class StimuliDataset:
+    """Sorted-key stimulus dataset: path / ndarray / PIL values.
+
+    Reference: visreps/dataloaders/neural.py:464-503 (_StimuliDataset) —
+    deterministic sorted-key ordering, returns (image, stimulus_id).
+    """
+
+    def __init__(self, stimuli, transform):
+        self.keys = sorted(stimuli.keys())
+        self.stimuli = stimuli  # may be a lazy dict (HDF5)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, idx):
+        from visreps_tpu.data.transforms import load_image
+
+        key = self.keys[idx]
+        img = load_image(self.stimuli[key])
+        return self.transform(img), key
+
+
+def make_stimuli_loader(stimuli, transform, batch_size: int, num_workers: int = 16) -> PrefetchLoader:
+    """shuffle=False loader over a stimulus dict.
+
+    Reference: visreps/dataloaders/neural.py:513-523 (_make_loader).
+    """
+    return PrefetchLoader(
+        StimuliDataset(stimuli, transform),
+        batch_size=batch_size,
+        shuffle=False,
+        num_workers=num_workers,
+    )
+
+
+class LabeledDataset:
+    """(image, int_label) dataset over (path, label, img_id) samples."""
+
+    def __init__(self, samples: Sequence, transform: Callable):
+        self.samples = list(samples)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx):
+        from visreps_tpu.data.transforms import load_image
+
+        path, label, _ = self.samples[idx]
+        return self.transform(load_image(path)), label
+
+
+def collate_labels(loader):
+    """Adapt (batch, metas) → (batch, np.int32 labels)."""
+    for batch, metas in loader:
+        yield batch, np.asarray(metas, np.int32)

@@ -1,0 +1,452 @@
+"""Unified evaluation orchestration: THINGS / NSD-Synthetic / NSD+TVSD.
+
+Reference parity: visreps/evals.py — same three branches, the same
+two-phase RSA protocol (Phase 1: per-(region, subject) layer selection
+on SRP activations, 1000 subsampled train stimuli seed 42; Phase 2:
+exact re-extraction of unique best layers on shared test stimuli,
+optional PC reconstruction, per-subject score + 1000×90% bootstrap),
+the same NSD-Synthetic layer reuse via results.db run_id lookup, and
+the same save_results persistence.
+
+TPU redesign: one jitted extraction program computes all taps + SRP per
+batch; selection RDMs for all 14 taps are one vmapped device call;
+bootstrap is a batched device program instead of 1000 scipy calls.
+"""
+from __future__ import annotations
+
+import json
+import sqlite3
+from typing import Dict, List
+
+import numpy as np
+
+from visreps_tpu.analysis.alignment import (
+    AlignmentData,
+    align_stimulus_level,
+    compute_traintest_alignment,
+    prepare_concept_alignment,
+    prepare_traintest_alignment,
+)
+from visreps_tpu.analysis.rsa import concept_average_exact, select_best_layer
+from visreps_tpu.core.config import Config, get_seed_letter
+from visreps_tpu.core.db import RESULTS_DB_PATH, compute_run_id, save_results
+from visreps_tpu.core.logging import rprint
+from visreps_tpu.data.loader import make_stimuli_loader
+from visreps_tpu.data.neural import (
+    get_neural_loader,
+    load_all_nsd_data,
+    load_all_tvsd_data,
+    load_nsd_synthetic_test_data,
+)
+from visreps_tpu.data.transforms import get_transform
+from visreps_tpu.models.extractor import configure_feature_extractor
+from visreps_tpu.models.zoo import TORCHVISION_RETURN_NODES, load_model
+from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation, percentile_ci
+from visreps_tpu.ops.pca import reconstruct_from_pcs
+from visreps_tpu.ops.rdm import compute_rdm, compute_rdm_correlation
+
+import jax.numpy as jnp
+
+
+# ──────────────────────── helpers ────────────────────────
+def _load_cfg(cfg: Config) -> Config:
+    """Merge runtime cfg with the checkpoint's training config.
+
+    Reference: evals.py:31-40.
+    """
+    seed_letter = get_seed_letter(cfg.seed)
+    path = f"{cfg.checkpoint_dir}/cfg{cfg.cfg_id}{seed_letter}/config.json"
+    with open(path) as f:
+        base = Config(json.load(f))
+    base.epoch = int(cfg.checkpoint_model.split("_")[-1].split(".")[0])
+    for k in ("mode", "exp_name", "lr_scheduler", "n_classes"):
+        base.pop(k, None)
+    return base.merge(cfg)
+
+
+def _listify(val) -> list:
+    return list(val) if isinstance(val, list) else [val]
+
+
+def _build_header(cfg) -> str:
+    analysis = cfg.get("analysis", "rsa").upper()
+    seed = cfg.get("seed", "?")
+    seed_letter = get_seed_letter(seed) if isinstance(seed, int) else "?"
+    parts = [f"{analysis} eval", f"cfg{cfg.get('cfg_id', '?')}{seed_letter} epoch {cfg.get('epoch', '?')}"]
+    region = cfg.get("region", "")
+    if region and str(region).upper() != "N/A":
+        parts.append(f"{cfg.get('neural_dataset', '?').upper()} {region}")
+    else:
+        parts.append(cfg.get("neural_dataset", "?").upper())
+    subj = cfg.get("subject_idx", "")
+    if subj != "" and str(subj).upper() != "N/A":
+        parts.append(f"subj {subj}")
+    parts.append(f"seed {seed}")
+    return " | ".join(parts)
+
+
+def _neural_tensor(test_neural_dict: dict, ids) -> np.ndarray:
+    responses = [test_neural_dict[sid] for sid in ids if sid in test_neural_dict]
+    arr = np.stack(responses).astype(np.float32)
+    return arr.squeeze() if arr.ndim > 2 else arr
+
+
+# ───────────────────────── eval ──────────────────────────
+def eval(cfg: Config):
+    """One forward pass, per-(subject, region) results. Reference: evals.py:74-218."""
+    verbose = cfg.get("verbose", False)
+
+    if cfg.load_model_from == "checkpoint":
+        cfg = _load_cfg(cfg)
+    elif cfg.load_model_from == "torchvision":
+        cfg.epoch = -1
+        cfg.cfg_id = "pretrained" if cfg.get("pretrained_dataset") == "imagenet1k" else "untrained"
+        cfg.return_nodes = TORCHVISION_RETURN_NODES[cfg.model_name]
+
+    dataset = cfg.neural_dataset.lower()
+
+    if dataset == "things-behavior":
+        return _eval_things(cfg, verbose)
+
+    if dataset == "nsd_synthetic":
+        subjects = _listify(cfg.subject_idx)
+        regions = _listify(cfg.region)
+        seed_letter = get_seed_letter(cfg.seed) if isinstance(cfg.seed, int) else "?"
+        rprint(
+            f"\n  RSA eval (NSD Synthetic) | cfg{cfg.get('cfg_id', '?')}{seed_letter} "
+            f"epoch {cfg.get('epoch', '?')} | {len(subjects)} subjects x {len(regions)} regions | "
+            f"seed {cfg.seed}\n",
+            style="info",
+        )
+        return _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose)
+
+    # ── NSD / TVSD unified multi-subject path ──
+    subjects = _listify(cfg.subject_idx)
+    regions = _listify(cfg.region)
+    seed_letter = get_seed_letter(cfg.seed) if isinstance(cfg.seed, int) else "?"
+    rprint(
+        f"\n  {cfg.get('analysis', 'rsa').upper()} eval | cfg{cfg.get('cfg_id', '?')}{seed_letter} "
+        f"epoch {cfg.get('epoch', '?')} | {cfg.neural_dataset.upper()} | "
+        f"{len(subjects)} subjects x {len(regions)} regions | seed {cfg.seed}\n",
+        style="info",
+    )
+
+    state = load_model(cfg, verbose=verbose)
+    extractor = configure_feature_extractor(cfg, state, verbose=verbose)
+
+    if dataset == "nsd":
+        all_data = load_all_nsd_data(cfg, subjects=subjects, regions=regions)
+    elif dataset == "tvsd":
+        all_data = load_all_tvsd_data(cfg, subjects=subjects, regions=regions)
+    else:
+        raise ValueError(f"Unsupported neural_dataset='{dataset}' for multi-subject eval")
+
+    stimuli = all_data["stimuli"]
+    rprint(
+        f"  {len(subjects)} subjects x {len(regions)} regions, "
+        f"{len(stimuli)} stimuli, {len(all_data['shared_test_ids'])} shared test IDs",
+        style="success",
+    )
+
+    transform = get_transform("imgnet")
+    dl = make_stimuli_loader(stimuli, transform, cfg.batchsize, cfg.get("num_workers", 16))
+    acts, ids = extractor.get_activations(dl)
+    rprint("  Activations extracted once for all subjects/regions", style="success")
+
+    analysis = cfg.get("analysis", "rsa").lower()
+    if analysis == "rsa":
+        return _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose)
+    if analysis == "encoding_score":
+        return _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose)
+    raise ValueError(f"Unknown analysis method: {analysis}")
+
+
+# ──────────────────── THINGS branch ──────────────────────
+def _eval_things(cfg, verbose):
+    """Concept-level 20/80 train/test RSA. Reference: evals.py:94-155."""
+    rprint(f"\n  {_build_header(cfg)}\n", style="info")
+    state = load_model(cfg, verbose=verbose)
+    extractor = configure_feature_extractor(cfg, state, verbose=verbose)
+
+    neural_data, dl = get_neural_loader(cfg)
+    rprint("  THINGS data loaded", style="success")
+
+    acts, ids = extractor.get_activations(dl)
+    all_concepts = prepare_concept_alignment(cfg, acts, neural_data, ids)
+    del acts, neural_data
+
+    rng = np.random.RandomState(42)
+    n_concepts = all_concepts.neural.shape[0]
+    perm = rng.permutation(n_concepts)
+    n_sel = int(n_concepts * 0.2)
+    sel_idx, eval_idx = perm[:n_sel], perm[n_sel:]
+
+    selection = AlignmentData(
+        activations={l: a[sel_idx] for l, a in all_concepts.activations.items()},
+        neural=all_concepts.neural[sel_idx],
+        stimulus_ids=[all_concepts.stimulus_ids[i] for i in sel_idx],
+    )
+    evaluation = AlignmentData(
+        activations={l: a[eval_idx] for l, a in all_concepts.activations.items()},
+        neural=all_concepts.neural[eval_idx],
+        stimulus_ids=[all_concepts.stimulus_ids[i] for i in eval_idx],
+        concept_image_ids={
+            all_concepts.stimulus_ids[i]: all_concepts.concept_image_ids[all_concepts.stimulus_ids[i]]
+            for i in eval_idx
+        },
+    )
+    del all_concepts
+    rprint(f"  {n_sel} selection concepts, {len(eval_idx)} evaluation concepts", style="success")
+
+    def re_extract_fn(layer, sids=None):
+        raw_acts, raw_ids = extractor.extract_single_layer(dl, layer)
+        if cfg.get("reconstruct_from_pcs"):
+            raw_acts = np.asarray(reconstruct_from_pcs({layer: raw_acts}, cfg.pca_k)[layer])
+            rprint(f"    Reconstructed from {cfg.pca_k} PCs", style="info")
+        return concept_average_exact(raw_acts, raw_ids, evaluation), evaluation.stimulus_ids
+
+    scores = compute_traintest_alignment(
+        cfg, selection, evaluation, verbose=verbose, re_extract_fn=re_extract_fn
+    )
+    if cfg.get("log_expdata"):
+        save_results(scores, cfg)
+    return scores
+
+
+# ──────────────────── RSA branch ─────────────────────────
+def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose) -> List[Dict]:
+    """Two-phase RSA. Reference: evals.py:222-400."""
+    method = cfg.get("compare_method", "spearman").lower()
+    bootstrap = cfg.get("bootstrap", False)
+    n_bootstrap = cfg.get("n_bootstrap", 1000)
+    n_select = cfg.get("n_select", 1000)
+
+    neural = all_data["neural"]
+    shared_test_ids = all_data["shared_test_ids"]
+    stimuli = all_data["stimuli"]
+
+    # ── Phase 1: per-(region, subject) layer selection (SRP) ──
+    rprint("\n  Phase 1: Per-subject layer selection", style="info")
+    per_region_layers: Dict = {}
+    per_region_scores: Dict = {}
+    for region in regions:
+        per_region_layers[region] = {}
+        per_region_scores[region] = {}
+        for subj in subjects:
+            train_acts, train_neural, _ = align_stimulus_level(
+                acts, neural[region][subj]["train"], ids
+            )
+            n_train = train_neural.shape[0]
+            if n_select is not None and n_select < n_train:
+                rng_sel = np.random.RandomState(42)
+                sel_idx = rng_sel.choice(n_train, size=n_select, replace=False)
+            else:
+                sel_idx = np.arange(n_train)
+
+            scores = select_best_layer(train_acts, train_neural, method, sel_idx)
+            best = max(scores, key=lambda l: scores[l] if scores[l] == scores[l] else -np.inf)
+            per_region_layers[region][subj] = best
+            per_region_scores[region][subj] = [
+                {"layer": l, "score": s} for l, s in scores.items()
+            ]
+            if verbose:
+                rprint(
+                    f"    {region} subj {subj}: {best} ({scores[best]:.4f}), "
+                    f"{len(sel_idx)} stimuli for selection",
+                    style="info",
+                )
+            del train_acts, train_neural
+
+    del acts
+    rprint("  Freed bulk SRP activations", style="success")
+
+    # ── Phase 2: exact re-extraction on shared test stimuli ────
+    rprint("\n  Phase 2: Test evaluation", style="info")
+    test_stimuli = {sid: stimuli[sid] for sid in shared_test_ids if sid in stimuli}
+    transform = get_transform("imgnet")
+    dl_test = make_stimuli_loader(test_stimuli, transform, cfg.batchsize, cfg.get("num_workers", 16))
+    rprint(f"  Test dataloader: {len(test_stimuli)} stimuli", style="success")
+
+    unique_layers = sorted({l for rl in per_region_layers.values() for l in rl.values()})
+    pca_k = cfg.get("pca_k", 1)
+    model_rdms = {}
+    for layer in unique_layers:
+        rprint(f"  Re-extracting {layer} without SRP...", style="info")
+        exact_acts, _ = extractor.extract_single_layer(dl_test, layer, shared_test_ids)
+        if cfg.get("reconstruct_from_pcs"):
+            exact_acts = np.asarray(reconstruct_from_pcs({layer: exact_acts}, pca_k)[layer])
+            rprint(f"    Reconstructed from {pca_k} PCs", style="info")
+        model_rdms[layer] = compute_rdm(jnp.asarray(exact_acts))
+        del exact_acts
+
+    # ── Per-(region, subject) scoring + save ───────────────────
+    all_results = []
+    for region in regions:
+        rprint(f"\n  -- Region: {region} --", style="info")
+        for subj in subjects:
+            best_layer = per_region_layers[region][subj]
+            neural_tensor = _neural_tensor(neural[region][subj]["test"], shared_test_ids)
+            neural_rdm = compute_rdm(jnp.asarray(neural_tensor))
+            point = compute_rdm_correlation(model_rdms[best_layer], neural_rdm, correlation=method)
+
+            ci_low = ci_high = None
+            bootstrap_scores_list = None
+            if bootstrap:
+                boot = bootstrap_rdm_correlation(
+                    model_rdms[best_layer], neural_rdm,
+                    n_bootstrap=n_bootstrap, seed=42, method=method,
+                )
+                ci_low, ci_high = percentile_ci(boot)
+                bootstrap_scores_list = boot.tolist()
+
+            msg = f"    subj {subj} | {method.capitalize():<10}| {best_layer} = {point:.4f}"
+            if bootstrap:
+                msg += f"  [95% CI: {ci_low:.4f}, {ci_high:.4f}]"
+            rprint(msg, style="highlight")
+
+            result = {
+                "layer": best_layer,
+                "compare_method": method,
+                "score": point,
+                "ci_low": ci_low,
+                "ci_high": ci_high,
+                "analysis": "rsa",
+                "layer_selection_scores": per_region_scores[region][subj],
+            }
+            if bootstrap_scores_list is not None:
+                result["bootstrap_scores"] = bootstrap_scores_list
+
+            if cfg.get("log_expdata"):
+                save_cfg = cfg.merge({"subject_idx": subj, "region": region})
+                save_results([result], save_cfg)
+            all_results.append(result)
+
+    return all_results
+
+
+# ───────────── NSD Synthetic branch ──────────────────────
+def _lookup_nsd_best_layers(cfg, subjects, regions) -> Dict:
+    """Query results.db for each (subject, region)'s NSD-selected layer.
+
+    Reference: evals.py:404-439.
+    """
+    method = cfg.get("compare_method", "spearman").lower()
+    conn = sqlite3.connect(str(RESULTS_DB_PATH))
+    layers: Dict = {}
+    for region in regions:
+        layers[region] = {}
+        for subj in subjects:
+            nsd_cfg = cfg.merge({
+                "neural_dataset": "nsd", "analysis": "rsa",
+                "subject_idx": subj, "region": region, "compare_method": method,
+            })
+            run_id = compute_run_id(nsd_cfg)
+            row = conn.execute(
+                "SELECT layer FROM results WHERE run_id=? AND compare_method=?",
+                (run_id, method),
+            ).fetchone()
+            if row is None:
+                conn.close()
+                raise ValueError(
+                    f"No NSD RSA result found (run_id={run_id}) for seed={cfg.seed}, "
+                    f"region={region}, subj={subj}, cfg_id={cfg.get('cfg_id')}. Run NSD eval first."
+                )
+            layers[region][subj] = row[0]
+    conn.close()
+    return layers
+
+
+def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose) -> List[Dict]:
+    """RSA on 220 synthetic stimuli with NSD-inherited layers.
+
+    Reference: evals.py:442-548.
+    """
+    method = cfg.get("compare_method", "spearman").lower()
+    bootstrap = cfg.get("bootstrap", False)
+    n_bootstrap = cfg.get("n_bootstrap", 1000)
+
+    best_layers = _lookup_nsd_best_layers(cfg, subjects, regions)
+    test_data = load_nsd_synthetic_test_data(cfg, subjects=subjects, regions=regions)
+    test_ids = test_data["test_ids"]
+    rprint(f"  Loaded {len(test_ids)} synthetic test stimuli", style="success")
+
+    state = load_model(cfg, verbose=verbose)
+    extractor = configure_feature_extractor(cfg, state, verbose=verbose)
+    transform = get_transform("imgnet")
+    dl_test = make_stimuli_loader(
+        test_data["stimuli"], transform, cfg.batchsize, cfg.get("num_workers", 16)
+    )
+
+    unique_layers = sorted({l for rl in best_layers.values() for l in rl.values()})
+    pca_k = cfg.get("pca_k", 1)
+    model_rdms = {}
+    for layer in unique_layers:
+        rprint(f"  Extracting {layer} without SRP...", style="info")
+        exact_acts, _ = extractor.extract_single_layer(dl_test, layer, test_ids)
+        if cfg.get("reconstruct_from_pcs"):
+            exact_acts = np.asarray(reconstruct_from_pcs({layer: exact_acts}, pca_k)[layer])
+        model_rdms[layer] = compute_rdm(jnp.asarray(exact_acts))
+        del exact_acts
+
+    all_results = []
+    for region in regions:
+        rprint(f"\n  -- Region: {region} --", style="info")
+        for subj in subjects:
+            best_layer = best_layers[region][subj]
+            neural_tensor = _neural_tensor(test_data["neural"][region][subj], test_ids)
+            neural_rdm = compute_rdm(jnp.asarray(neural_tensor))
+            point = compute_rdm_correlation(model_rdms[best_layer], neural_rdm, correlation=method)
+
+            ci_low = ci_high = None
+            bootstrap_scores_list = None
+            if bootstrap:
+                boot = bootstrap_rdm_correlation(
+                    model_rdms[best_layer], neural_rdm,
+                    n_bootstrap=n_bootstrap, seed=42, method=method,
+                )
+                ci_low, ci_high = percentile_ci(boot)
+                bootstrap_scores_list = boot.tolist()
+
+            msg = f"    subj {subj} | {method.capitalize():<10}| {best_layer} = {point:.4f}"
+            if bootstrap:
+                msg += f"  [95% CI: {ci_low:.4f}, {ci_high:.4f}]"
+            rprint(msg, style="highlight")
+
+            result = {
+                "layer": best_layer,
+                "compare_method": method,
+                "score": point,
+                "ci_low": ci_low,
+                "ci_high": ci_high,
+                "analysis": "rsa",
+                "layer_selection_scores": [],
+            }
+            if bootstrap_scores_list is not None:
+                result["bootstrap_scores"] = bootstrap_scores_list
+            if cfg.get("log_expdata"):
+                save_cfg = cfg.merge({"subject_idx": subj, "region": region})
+                save_results([result], save_cfg)
+            all_results.append(result)
+
+    return all_results
+
+
+# ──────────────── encoding branch ────────────────────────
+def _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose) -> List[Dict]:
+    """Per-(region, subject) encoding score with SRP acts throughout.
+
+    Reference: evals.py:552-590.
+    """
+    neural = all_data["neural"]
+    all_results = []
+    for region in regions:
+        rprint(f"\n  -- Region: {region} --", style="info")
+        for subj in subjects:
+            train_data, test_data = prepare_traintest_alignment(cfg, acts, neural[region][subj], ids)
+            scores = compute_traintest_alignment(cfg, train_data, test_data, verbose=verbose)
+            del train_data, test_data
+            if cfg.get("log_expdata"):
+                save_cfg = cfg.merge({"subject_idx": subj, "region": region})
+                save_results(scores, save_cfg)
+            all_results.extend(scores)
+    return all_results

@@ -1,0 +1,225 @@
+"""Multi-layer activation extraction with fused on-device SRP.
+
+Reference parity: visreps/models/utils.py:27-404 (FeatureExtractor +
+get_activations + extract_single_layer). TPU redesign:
+
+  * No forward hooks — tap points are explicit jitted outputs chosen by
+    a static ``capture`` tuple, so a single compiled program produces
+    the forward pass AND all 14 sparse-random-projections per batch
+    (conv → flatten → bf16 MXU matmul), with no host round trips
+    between layers.
+  * Tap shapes are discovered with ``jax.eval_shape`` (no probe batch
+    forward, unlike models/utils.py:297-305).
+  * The last ragged batch is padded to the fixed batch size so one
+    compiled program serves the whole run.
+  * Device dispatch is pipelined one batch deep: batch i+1's forward is
+    enqueued before batch i's projected activations are fetched,
+    overlapping host JPEG decode with TPU compute.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visreps_tpu.core.logging import rprint
+from visreps_tpu.models.zoo import ModelState
+from visreps_tpu.ops.srp import SRPTransform
+
+
+def expand_return_nodes(module, return_nodes: Sequence[str], extract_pre_and_post: bool = True):
+    """Semantic layer names → ordered tap point names.
+
+    With extract_pre_and_post, each layer that has a downstream
+    activation expands to (name_pre, name_post); layers without one
+    keep a single point (reference: models/utils.py:198-230).
+    Without it, the single post point keeps the plain layer name.
+    """
+    tap_specs = module.TAPS
+    points: list[str] = []
+    alias: dict[str, str] = {}  # tap point -> output name
+    for name in return_nodes:
+        if name not in tap_specs:
+            rprint(f"Warning: {name} not found in model tap map", style="warning")
+            continue
+        spec = tap_specs[name]
+        if extract_pre_and_post or len(spec) == 1:
+            for p in spec:
+                points.append(p)
+                alias[p] = p
+        else:
+            # post-ReLU point only, reported under the plain layer name
+            p = spec[-1]
+            points.append(p)
+            alias[p] = name
+    return points, alias
+
+
+class FeatureExtractor:
+    """Jit-compiled multi-tap extractor with optional fused SRP."""
+
+    def __init__(
+        self,
+        state: ModelState,
+        return_nodes: Sequence[str],
+        extract_pre_and_post: bool = True,
+        srp_k: int = 4096,
+        srp_seed: int = 0,
+        batch_size: int = 128,
+    ):
+        self.state = state
+        self.batch_size = batch_size
+        self.points, self.alias = expand_return_nodes(
+            state.module, list(return_nodes), extract_pre_and_post
+        )
+        self.return_nodes = {self.alias[p]: self.alias[p] for p in self.points}
+        self.srp = SRPTransform(k=srp_k, seed=srp_seed)
+
+        # Tap shape discovery without running the model.
+        size = state.input_size
+        dummy = jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.float32)
+
+        def fwd(variables, x):
+            return state.module.apply(variables, x, train=False, capture=tuple(self.points))
+
+        _, tap_shapes = jax.eval_shape(fwd, state.variables, dummy)
+        self.tap_dims = {
+            self.alias[p]: int(np.prod(tap_shapes[p].shape[1:])) for p in self.points
+        }
+
+        points = tuple(self.points)
+        alias = dict(self.alias)
+        module = state.module
+
+        @partial(jax.jit, static_argnames=())
+        def _srp_step(variables, proj, x):
+            _, taps = module.apply(variables, x, train=False, capture=points)
+            out = {}
+            for p in points:
+                flat = taps[p].reshape(taps[p].shape[0], -1)
+                out[alias[p]] = jax.lax.dot_general(
+                    flat.astype(jnp.bfloat16), proj[alias[p]],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return out
+
+        self._srp_step = _srp_step
+
+        def _single_step(variables, x, point):
+            _, taps = module.apply(variables, x, train=False, capture=(point,))
+            t = taps[point]
+            return t.reshape(t.shape[0], -1).astype(jnp.float32)
+
+        self._single_step = jax.jit(_single_step, static_argnames=("point",))
+
+    # ── projection matrices (built once, HBM-resident) ──────────
+    def _proj_dict(self):
+        return {name: self.srp.matrix(d) for name, d in self.tap_dims.items()}
+
+    def out_dims(self) -> dict[str, int]:
+        return {name: self.srp.out_dim(d) for name, d in self.tap_dims.items()}
+
+    def _pad(self, x: np.ndarray) -> tuple[np.ndarray, int]:
+        b = x.shape[0]
+        if b == self.batch_size:
+            return x, b
+        pad = np.zeros((self.batch_size - b, *x.shape[1:]), x.dtype)
+        return np.concatenate([x, pad]), b
+
+    # ── bulk extraction with SRP ─────────────────────────────────
+    def get_activations(self, loader: Iterable, total: int | None = None):
+        """All-tap SRP activations over a loader of (batch, keys).
+
+        Returns ({name: np.float32 (N, k)}, ids) — same contract as the
+        reference's get_activations (models/utils.py:281-347).
+        """
+        proj = self._proj_dict()
+        dims = self.out_dims()
+        chunks: dict[str, list] = {name: [] for name in dims}
+        ids: list = []
+        pending = None  # (device result dict, n_valid)
+
+        def drain(p):
+            res, n = p
+            host = jax.device_get(res)
+            for name, arr in host.items():
+                chunks[name].append(arr[:n])
+
+        for x, keys in loader:
+            ids.extend(keys)
+            xp, n = self._pad(np.asarray(x))
+            cur = (self._srp_step(self.state.variables, proj, jnp.asarray(xp)), n)
+            if pending is not None:
+                drain(pending)
+            pending = cur
+        if pending is not None:
+            drain(pending)
+
+        acts = {name: np.concatenate(parts, axis=0) for name, parts in chunks.items() if parts}
+        rprint(f"  SRP activations: {len(acts)} taps x {len(ids)} stimuli", style="success")
+        return acts, ids
+
+    # ── exact single-layer re-extraction (no SRP) ────────────────
+    def extract_single_layer(self, loader: Iterable, layer_name: str, stimulus_ids=None):
+        """Full-resolution activations for ONE tap point.
+
+        Reference: models/utils.py:350-404 — optional reorder/filter to
+        ``stimulus_ids``.
+        """
+        point = None
+        for p in self.points:
+            if self.alias[p] == layer_name or p == layer_name:
+                point = p
+                break
+        if point is None:
+            raise KeyError(f"Layer {layer_name!r} not among extraction points {self.points}")
+
+        parts, all_ids = [], []
+        pending = None
+
+        for x, keys in loader:
+            all_ids.extend(keys)
+            xp, n = self._pad(np.asarray(x))
+            cur = (self._single_step(self.state.variables, jnp.asarray(xp), point), n)
+            if pending is not None:
+                parts.append(jax.device_get(pending[0])[: pending[1]])
+            pending = cur
+        if pending is not None:
+            parts.append(jax.device_get(pending[0])[: pending[1]])
+
+        acts = np.concatenate(parts, axis=0)
+        if stimulus_ids is not None:
+            id_to_idx = {str(k): i for i, k in enumerate(all_ids)}
+            keep = [id_to_idx[str(s)] for s in stimulus_ids if str(s) in id_to_idx]
+            acts = acts[keep]
+            all_ids = [all_ids[i] for i in keep]
+        rprint(f"  Re-extracted {layer_name}: {acts.shape} (exact, no SRP)", style="success")
+        return acts, all_ids
+
+
+def configure_feature_extractor(cfg, state: ModelState, verbose: bool = False) -> FeatureExtractor:
+    """Build a FeatureExtractor from an eval config.
+
+    Reference: visreps/models/utils.py:262-278.
+    """
+    return_nodes = list(cfg.get("return_nodes") or [])
+    if not return_nodes:
+        raise ValueError("return_nodes must be specified in config")
+    extractor = FeatureExtractor(
+        state,
+        return_nodes,
+        extract_pre_and_post=cfg.get("extract_pre_and_post", True),
+        srp_k=cfg.get("srp_k", 4096),
+        srp_seed=cfg.get("srp_seed", 0),
+        batch_size=cfg.get("batchsize", 128),
+    )
+    n_points = len(extractor.points)
+    suffix = f" ({len(return_nodes)} layers x pre/post)" if cfg.get("extract_pre_and_post", True) else ""
+    rprint(f"  {n_points} extraction points{suffix}", style="success")
+    if verbose:
+        rprint(f"    Points: {extractor.points}", style="info")
+    return extractor

@@ -1,0 +1,138 @@
+"""Model factory: init from config or restore from checkpoint.
+
+Reference parity: visreps/models/utils.py:407-471 (load_model) and
+standard_model.py factories. Checkpoints here are pytree files written
+by train/checkpoint.py under the same
+``model_checkpoints/{dir}/cfg{K}{seed_letter}/`` naming scheme.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from visreps_tpu.core.config import get_seed_letter
+from visreps_tpu.core.logging import rprint
+from visreps_tpu.models.custom_cnn import CustomCNN, TinyCustomCNN
+from visreps_tpu.models.ecnet import ECTiedNet
+from visreps_tpu.models.resnet import ResNet18, ResNet50
+from visreps_tpu.models.standard import AlexNet, VGG16
+from visreps_tpu.models.vit import ViTBase
+
+# Default extraction points for standard models
+# (reference: visreps/models/utils.py:27-31, extended to every family).
+TORCHVISION_RETURN_NODES = {
+    "AlexNet": ["conv1", "conv2", "conv3", "conv4", "conv5", "fc1", "fc2"],
+    "ResNet18": ["conv1", "block1", "block2", "block3", "block4",
+                 "block5", "block6", "block7", "block8", "fc1"],
+    "ResNet50": ["conv1"] + [f"block{i}" for i in range(1, 17)] + ["fc1"],
+    "VGG16": [f"conv{i}" for i in range(1, 14)] + ["fc1", "fc2"],
+    "ViTBase": ["patch_embed"] + [f"block{i}" for i in range(1, 13)] + ["head"],
+    "ECTiedNet": ["stem"] + [f"block{i}" for i in range(1, 5)] + ["fc1", "fc2"],
+}
+
+MODEL_REGISTRY = {
+    "AlexNet": AlexNet,
+    "VGG16": VGG16,
+    "ResNet18": ResNet18,
+    "ResNet50": ResNet50,
+    "ViTBase": ViTBase,
+    "ECTiedNet": ECTiedNet,
+    "CustomCNN": CustomCNN,
+    "TinyCustomCNN": TinyCustomCNN,
+}
+
+
+@dataclass
+class ModelState:
+    """A model module plus its variable collections."""
+
+    module: Any
+    params: Any
+    batch_stats: Any = None
+    input_size: int = 224
+
+    @property
+    def variables(self) -> dict:
+        v = {"params": self.params}
+        if self.batch_stats is not None:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+    def apply(self, x, train: bool = False, capture: tuple = (), rngs=None, mutable=False):
+        return self.module.apply(
+            self.variables, x, train=train, capture=tuple(capture),
+            rngs=rngs, mutable=mutable,
+        )
+
+    def num_params(self) -> int:
+        return sum(p.size for p in jax.tree_util.tree_leaves(self.params))
+
+
+def _build_module(model_name: str, num_classes: int, cfg=None):
+    if model_name not in MODEL_REGISTRY:
+        raise ValueError(f"Model '{model_name}' not found in registry: {list(MODEL_REGISTRY)}")
+    ctor = MODEL_REGISTRY[model_name]
+    if model_name in ("CustomCNN", "TinyCustomCNN"):
+        arch = (cfg or {}).get("arch", {}) if cfg is not None else {}
+        return ctor(
+            num_classes=num_classes,
+            conv_trainable=arch.get("conv_trainable", "11111"),
+            fc_trainable=arch.get("fc_trainable", "111"),
+            dropout=arch.get("dropout", 0.5 if model_name == "CustomCNN" else 0.3),
+            pooling_type=arch.get("pooling_type", "max"),
+        )
+    return ctor(num_classes=num_classes)
+
+
+def init_model(model_name: str, num_classes: int, seed: int = 0, cfg=None,
+               input_size: int | None = None) -> ModelState:
+    """Initialize a fresh model (He/xavier init per family)."""
+    module = _build_module(model_name, num_classes, cfg)
+    size = input_size or (64 if "tiny" in model_name.lower() else 224)
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(seed), dummy, train=False, capture=())
+    return ModelState(
+        module=module,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        input_size=size,
+    )
+
+
+def load_model(cfg, num_classes: int | None = None, verbose: bool = False) -> ModelState:
+    """Load from checkpoint or initialize fresh.
+
+    Reference: visreps/models/utils.py:407-471. Checkpoint path:
+    ``{checkpoint_dir}/cfg{cfg_id}{seed_letter}/{checkpoint_model}``.
+    When ``pretrained_dataset='imagenet1k'`` a torch weight file is
+    imported if available (models/torch_import.py).
+    """
+    if cfg.get("load_model_from") == "checkpoint":
+        from visreps_tpu.train.checkpoint import load_checkpoint
+
+        if num_classes is not None:
+            rprint("WARNING: num_classes is ignored when loading from checkpoint", style="warning")
+        seed_letter = get_seed_letter(cfg.seed)
+        path = f"{cfg.checkpoint_dir}/cfg{cfg.cfg_id}{seed_letter}/{cfg.checkpoint_model}"
+        state, _ = load_checkpoint(path)
+        rprint(f"  Loaded checkpoint (cfg{cfg.cfg_id}{seed_letter})", style="success")
+        if verbose:
+            rprint(f"    Path: {path}", style="info")
+        return state
+
+    model_class = cfg.get("model_class", "standard_model")
+    model_name = cfg.get("model_name", "AlexNet")
+
+    if model_class == "custom_model":
+        name = "TinyCustomCNN" if "tiny" in model_name.lower() else "CustomCNN"
+        return init_model(name, num_classes or 1000, seed=cfg.get("seed", 0), cfg=cfg)
+
+    state = init_model(model_name, num_classes or 1000, seed=cfg.get("seed", 0))
+    if cfg.get("pretrained_dataset", "none") == "imagenet1k":
+        from visreps_tpu.models.torch_import import load_pretrained_torch
+
+        state = load_pretrained_torch(state, model_name, num_classes)
+    return state

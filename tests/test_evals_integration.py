@@ -1,0 +1,146 @@
+"""End-to-end eval orchestration tests with synthetic in-memory NSD data.
+
+Mirrors the reference's slow end-to-end tests (tests/test_rsa_bootstrap
+.py:1613-1817) but with fabricated stimuli/responses so they run
+anywhere: full two-phase RSA (SRP selection → exact re-extraction →
+bootstrap), encoding path, results.db persistence, and the
+NSD-Synthetic layer-reuse lookup.
+"""
+import numpy as np
+import pytest
+
+import visreps_tpu.evals as evals
+from visreps_tpu.core.config import Config
+from visreps_tpu.core import db as core_db
+
+SUBJECTS = [0, 1]
+REGION = "early visual stream"
+N_TRAIN, N_TEST, N_VOX = 24, 10, 16
+
+
+def _synthetic_all_data(rng):
+    stimuli = {}
+    neural = {REGION: {}}
+    train_ids = [str(i) for i in range(N_TRAIN)]
+    test_ids = [str(1000 + i) for i in range(N_TEST)]
+    for sid in train_ids + test_ids:
+        stimuli[sid] = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    for subj in SUBJECTS:
+        neural[REGION][subj] = {
+            "train": {sid: rng.randn(N_VOX).astype(np.float32) for sid in train_ids},
+            "test": {sid: rng.randn(N_VOX).astype(np.float32) for sid in test_ids},
+        }
+    return {
+        "regions": [REGION],
+        "subjects": SUBJECTS,
+        "neural": neural,
+        "stimuli": stimuli,
+        "shared_test_ids": test_ids,
+    }
+
+
+@pytest.fixture
+def eval_env(monkeypatch, tmp_path):
+    rng = np.random.RandomState(7)
+    all_data = _synthetic_all_data(rng)
+    monkeypatch.setattr(evals, "load_all_nsd_data", lambda cfg, subjects=None, regions=None: all_data)
+    monkeypatch.setitem(evals.TORCHVISION_RETURN_NODES, "TinyCustomCNN", ["conv4", "conv5", "fc1"])
+    db_path = tmp_path / "results.db"
+    monkeypatch.setattr(core_db, "RESULTS_DB_PATH", db_path)
+    monkeypatch.setattr(evals, "RESULTS_DB_PATH", db_path)
+    return all_data, db_path
+
+
+def _cfg(**kw):
+    base = {
+        "mode": "eval",
+        "seed": 1,
+        "neural_dataset": "nsd",
+        "subject_idx": SUBJECTS,
+        "region": [REGION],
+        "analysis": "rsa",
+        "compare_method": "spearman",
+        "bootstrap": True,
+        "n_bootstrap": 8,
+        "batchsize": 8,
+        "num_workers": 2,
+        "load_model_from": "torchvision",
+        "model_name": "TinyCustomCNN",
+        "pretrained_dataset": "none",
+        "extract_pre_and_post": True,
+        "srp_k": 128,
+        "log_expdata": True,
+        "n_select": 16,
+    }
+    base.update(kw)
+    return Config(base)
+
+
+class TestEvalRSA:
+    def test_full_two_phase_rsa(self, eval_env):
+        _, db_path = eval_env
+        results = evals.eval(_cfg())
+        assert len(results) == len(SUBJECTS)
+        valid_layers = {
+            "conv4_pre", "conv4_post", "conv5_pre", "conv5_post", "fc1_pre", "fc1_post",
+        }
+        for res in results:
+            assert res["layer"] in valid_layers
+            assert res["compare_method"] == "spearman"
+            assert np.isfinite(res["score"])
+            assert res["ci_low"] <= res["ci_high"]
+            assert len(res["bootstrap_scores"]) == 8
+            assert len(res["layer_selection_scores"]) == 6
+
+        import sqlite3
+
+        conn = sqlite3.connect(db_path)
+        n_rows = conn.execute("SELECT COUNT(*) FROM results").fetchone()[0]
+        assert n_rows == len(SUBJECTS)
+        subj_vals = {r[0] for r in conn.execute("SELECT subject_idx FROM results")}
+        assert subj_vals == {"0", "1"}
+
+    def test_nsd_synthetic_layer_reuse(self, eval_env, monkeypatch):
+        all_data, db_path = eval_env
+        # First: regular NSD eval populates results.db
+        evals.eval(_cfg())
+
+        # Synthetic test data reusing the same stimuli as PNG-free arrays
+        rng = np.random.RandomState(3)
+        test_ids = [f"synth{i:02d}" for i in range(8)]
+        synth = {
+            "regions": [REGION],
+            "subjects": SUBJECTS,
+            "neural": {REGION: {s: {t: rng.randn(N_VOX).astype(np.float32) for t in test_ids}
+                                for s in SUBJECTS}},
+            "stimuli": {t: (rng.rand(64, 64, 3) * 255).astype(np.uint8) for t in test_ids},
+            "test_ids": test_ids,
+        }
+        monkeypatch.setattr(
+            evals, "load_nsd_synthetic_test_data",
+            lambda cfg, subjects=None, regions=None: synth,
+        )
+        results = evals.eval(_cfg(neural_dataset="nsd_synthetic", bootstrap=False))
+        assert len(results) == len(SUBJECTS)
+        for res in results:
+            assert res["layer_selection_scores"] == []  # inherited, not re-selected
+
+    def test_synthetic_without_prior_nsd_raises(self, eval_env, monkeypatch):
+        monkeypatch.setattr(
+            evals, "load_nsd_synthetic_test_data",
+            lambda cfg, subjects=None, regions=None: pytest.fail("should not load"),
+        )
+        with pytest.raises(ValueError, match="Run NSD eval first"):
+            evals.eval(_cfg(neural_dataset="nsd_synthetic", bootstrap=False))
+
+
+class TestEvalEncoding:
+    def test_encoding_path(self, eval_env):
+        _, db_path = eval_env
+        results = evals.eval(_cfg(analysis="encoding_score", compare_method="pearson",
+                                  n_bootstrap=4))
+        assert len(results) == len(SUBJECTS)
+        for res in results:
+            assert res["analysis"] == "encoding_score"
+            assert res["compare_method"] == "pearson"
+            assert np.isfinite(res["score"])

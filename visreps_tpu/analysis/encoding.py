@@ -51,6 +51,7 @@ def _bootstrap_pred_scores(y_true, pred, idx, chunk: int = 64):
         return jnp.mean(correlation_score(y_true[ix], pred[ix]))
 
     n_boot = idx.shape[0]
+    chunk = min(chunk, n_boot)  # keep pad < n_boot so idx[:pad] suffices
     n_chunks = -(-n_boot // chunk)
     pad = n_chunks * chunk - n_boot
     idx_p = jnp.concatenate([idx, idx[:pad]]) if pad else idx

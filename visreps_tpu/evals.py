@@ -341,10 +341,13 @@ def _lookup_nsd_best_layers(cfg, subjects, regions) -> Dict:
                 "subject_idx": subj, "region": region, "compare_method": method,
             })
             run_id = compute_run_id(nsd_cfg)
-            row = conn.execute(
-                "SELECT layer FROM results WHERE run_id=? AND compare_method=?",
-                (run_id, method),
-            ).fetchone()
+            try:
+                row = conn.execute(
+                    "SELECT layer FROM results WHERE run_id=? AND compare_method=?",
+                    (run_id, method),
+                ).fetchone()
+            except sqlite3.OperationalError:  # fresh/empty DB
+                row = None
             if row is None:
                 conn.close()
                 raise ValueError(

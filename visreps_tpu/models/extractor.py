@@ -69,17 +69,21 @@ class FeatureExtractor:
         srp_k: int = 4096,
         srp_seed: int = 0,
         batch_size: int = 128,
+        image_size: int | None = None,
     ):
         self.state = state
         self.batch_size = batch_size
+        self.image_size = image_size or state.input_size
         self.points, self.alias = expand_return_nodes(
             state.module, list(return_nodes), extract_pre_and_post
         )
         self.return_nodes = {self.alias[p]: self.alias[p] for p in self.points}
         self.srp = SRPTransform(k=srp_k, seed=srp_seed)
 
-        # Tap shape discovery without running the model.
-        size = state.input_size
+        # Tap shape discovery without running the model. Eval stimuli
+        # are transformed to a fixed size (224 in the reference's
+        # imgnet transform) regardless of the model's training size.
+        size = self.image_size
         dummy = jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.float32)
 
         def fwd(variables, x):
@@ -216,6 +220,7 @@ def configure_feature_extractor(cfg, state: ModelState, verbose: bool = False) -
         srp_k=cfg.get("srp_k", 4096),
         srp_seed=cfg.get("srp_seed", 0),
         batch_size=cfg.get("batchsize", 128),
+        image_size=cfg.get("image_size", 224),
     )
     n_points = len(extractor.points)
     suffix = f" ({len(return_nodes)} layers x pre/post)" if cfg.get("extract_pre_and_post", True) else ""

@@ -56,6 +56,7 @@ def _bootstrap_scores(rdm_a, rdm_b, idx, method: str, chunk: int):
         return _CORR[method](sub_a, sub_b)
 
     n_boot = idx.shape[0]
+    chunk = min(chunk, n_boot)  # keep pad < n_boot so idx[:pad] suffices
     n_chunks = -(-n_boot // chunk)
     pad = n_chunks * chunk - n_boot
     idx_p = jnp.concatenate([idx, idx[:pad]]) if pad else idx

@@ -1,0 +1,16 @@
+from visreps_tpu.parallel.mesh import (
+    make_mesh,
+    data_sharding,
+    replicated,
+    shard_params_tp,
+)
+from visreps_tpu.parallel.shard import rdm_sharded, extract_sharded_batch
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "shard_params_tp",
+    "rdm_sharded",
+    "extract_sharded_batch",
+]

@@ -1,0 +1,125 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh.
+
+The TPU-build analog of the reference's missing distributed tests
+(SURVEY.md §4): the same math under jax.sharding on 1-vs-N devices.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visreps_tpu.ops.rdm import compute_rdm
+from visreps_tpu.parallel.mesh import data_sharding, make_mesh, replicated, shard_params_tp
+from visreps_tpu.parallel.shard import rdm_sharded
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(data=8, model=1)
+
+
+@pytest.fixture(scope="module")
+def mesh42():
+    return make_mesh(data=4, model=2)
+
+
+class TestShardedRDM:
+    @pytest.mark.parametrize("n", [64, 100])  # 100 tests the pad path
+    def test_matches_single_device(self, rng, mesh8, n):
+        x = rng.randn(n, 256).astype(np.float32)
+        expected = np.asarray(compute_rdm(x))
+        got = np.asarray(rdm_sharded(x, mesh8))
+        np.testing.assert_allclose(got, expected, atol=2e-5)
+
+    def test_spearman_variant(self, rng, mesh8):
+        x = rng.randn(64, 128).astype(np.float32)
+        expected = np.asarray(compute_rdm(x, correlation="spearman"))
+        got = np.asarray(rdm_sharded(x, mesh8, correlation="spearman"))
+        np.testing.assert_allclose(got, expected, atol=2e-5)
+
+    def test_2d_mesh(self, rng, mesh42):
+        x = rng.randn(48, 64).astype(np.float32)
+        expected = np.asarray(compute_rdm(x))
+        got = np.asarray(rdm_sharded(x, mesh42))
+        np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+class TestDataParallelTrainStep:
+    def test_sharded_step_matches_replicated(self, rng):
+        """One train step on a 8-way sharded batch == single-device step."""
+        from visreps_tpu.core.config import Config
+        from visreps_tpu.models.zoo import init_model
+        from visreps_tpu.train.optim import setup_optimizer
+        from visreps_tpu.train.trainer import make_train_step
+
+        cfg = Config({
+            "optimizer": "adamw", "learning_rate": 1e-3, "weight_decay": 1e-3,
+            "grad_clip": 1.0, "lr_scheduler": "cosineannealinglr",
+            "num_epochs": 2, "warmup_epochs": 0,
+        })
+        state = init_model("TinyCustomCNN", 8, seed=0)
+        tx, _ = setup_optimizer(state.params, cfg, steps_per_epoch=1)
+        step = make_train_step(state.module, tx)
+
+        images = rng.randn(16, 64, 64, 3).astype(np.float32)
+        labels = (np.arange(16) % 8).astype(np.int32)
+        key = jax.random.PRNGKey(0)
+
+        # single-device
+        import copy
+
+        p1, s1, o1, loss1, gn1 = step(
+            jax.tree_util.tree_map(jnp.array, state.params),
+            jax.tree_util.tree_map(jnp.array, state.batch_stats),
+            tx.init(state.params), jnp.asarray(images), jnp.asarray(labels), key,
+        )
+
+        # 8-way data parallel
+        mesh = make_mesh(data=8, model=1)
+        rep = replicated(mesh)
+        params = jax.device_put(state.params, rep)
+        stats = jax.device_put(state.batch_stats, rep)
+        opt = jax.device_put(tx.init(state.params), rep)
+        im = jax.device_put(jnp.asarray(images), data_sharding(mesh))
+        lb = jax.device_put(jnp.asarray(labels), data_sharding(mesh))
+        with mesh:
+            p8, s8, o8, loss8, gn8 = step(params, stats, opt, im, lb, key)
+
+        np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+        np.testing.assert_allclose(float(gn1), float(gn8), rtol=1e-3)
+        # Adam's m/√v normalizes each update to ~lr, so a near-zero
+        # gradient whose SIGN flips under cross-device reduction order
+        # moves a param by up to 2·lr — bound the comparison there.
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
+        # BatchNorm batch stats must be GLOBAL-batch stats in both cases
+        for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestTensorParallel:
+    def test_tp_forward_matches_replicated(self, rng):
+        from visreps_tpu.models.zoo import init_model
+
+        state = init_model("CustomCNN", 16, seed=0, input_size=64)
+        x = rng.randn(4, 64, 64, 3).astype(np.float32)
+        logits_ref, _ = state.module.apply(state.variables, jnp.asarray(x), train=False, capture=())
+
+        mesh = make_mesh(data=4, model=2)
+        params = shard_params_tp(state.params, mesh)
+        stats = jax.device_put(state.batch_stats, replicated(mesh))
+        with mesh:
+            logits_tp, _ = state.module.apply(
+                {"params": params, "batch_stats": stats},
+                jax.device_put(jnp.asarray(x), data_sharding(mesh)),
+                train=False, capture=(),
+            )
+        np.testing.assert_allclose(np.asarray(logits_ref), np.asarray(logits_tp), atol=1e-4)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)

@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from visreps_tpu.ops.stats import rankdata_dense
 
@@ -54,7 +54,6 @@ def rdm_sharded(x, mesh: Mesh, correlation: str = "pearson", correction: float =
         mesh=mesh,
         in_specs=P("data", None),
         out_specs=P("data", None),
-        check_vma=False,
     )
     def gram_block(x_blk):
         x_full = jax.lax.all_gather(x_blk, "data", axis=0, tiled=True)  # (n_pad, d)

@@ -162,6 +162,9 @@ class Trainer:
         return x
 
     def evaluate(self, split: str = "test"):
+        # tiny-imagenet loaders are keyed "val" (reference obj_cls.py:293)
+        if split not in self.loaders and split == "test" and "val" in self.loaders:
+            split = "val"
         return calculate_cls_accuracy(self.loaders[split], self.state, self.eval_step)
 
     def train_epoch(self, epoch: int):

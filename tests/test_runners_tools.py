@@ -1,0 +1,173 @@
+"""Tests for the sweep runners, scheduler, dashboard, plotters, and
+coarse-label pipeline."""
+import json
+import sqlite3
+
+import numpy as np
+import pytest
+
+from visreps_tpu.core.config import Config
+from visreps_tpu.core.db import save_results
+from visreps_tpu.runners.base_runner import ExperimentRunner, load_param_grid
+
+
+class TestGridRunner:
+    def test_grid_expansion(self, tmp_path):
+        grid = [{"seed": [1, 2], "pca_n_classes": [4, 8], "lr": 0.001,
+                 "arch": {"dropout": [0.3, 0.5]}}]
+        p = tmp_path / "grid.json"
+        p.write_text(json.dumps(grid))
+        combos = load_param_grid(p)
+        assert len(combos) == 8  # 2 x 2 x 2
+        assert all(c["lr"] == 0.001 for c in combos)
+        assert {c["arch.dropout"] for c in combos} == {0.3, 0.5}
+
+    def test_multiple_groups(self, tmp_path):
+        grid = [{"seed": [1, 2]}, {"seed": 3, "extra": "x"}]
+        p = tmp_path / "grid.json"
+        p.write_text(json.dumps(grid))
+        combos = load_param_grid(p)
+        assert len(combos) == 3
+
+    def test_command_construction(self, tmp_path):
+        grid = [{"seed": [1], "pca_labels": True}]
+        p = tmp_path / "grid.json"
+        p.write_text(json.dumps(grid))
+        runner = ExperimentRunner("train", grid_path=p, config="configs/train/base.json",
+                                  dry_run=True)
+        cmd = runner._command(runner.combos[0])
+        assert "--mode" in cmd and "train" in cmd
+        assert "seed=1" in cmd and "pca_labels=true" in cmd
+        assert runner.run_all() == [0]
+
+
+class TestScheduler:
+    def test_train_matrix_size(self):
+        from visreps_tpu.runners.scheduler import TRAIN_PARAM_GRID, expand_grid, train_overrides
+
+        combos = expand_grid(TRAIN_PARAM_GRID)
+        assert len(combos) == 3 * 6 * 4  # seeds x granularities x sources
+        ov = train_overrides(combos[0])
+        assert ov["checkpoint_dir"].startswith("pca_")
+        assert ov["log_checkpoints"] is True
+
+    def test_slurm_script_generation(self, tmp_path):
+        from visreps_tpu.runners.scheduler import generate_slurm_script
+
+        path = generate_slurm_script("job_x", "echo hi", tmp_path, partition="tpu-v5e")
+        text = path.read_text()
+        assert "#SBATCH --partition=tpu-v5e" in text
+        assert "echo hi" in text
+
+
+def _populate_db(db_path, n_subjects=2, cfgs=(2, 4), seeds=(1,)):
+    rng = np.random.RandomState(0)
+    for cfg_id in cfgs:
+        for seed in seeds:
+            for subj in range(n_subjects):
+                cfg = Config({
+                    "seed": seed, "epoch": 20, "region": "V1", "subject_idx": subj,
+                    "neural_dataset": "nsd", "cfg_id": cfg_id, "pca_labels": True,
+                    "pca_n_classes": cfg_id, "pca_labels_folder": "pca_labels_alexnet",
+                    "checkpoint_dir": "pca_alexnet", "analysis": "rsa",
+                    "compare_method": "spearman", "reconstruct_from_pcs": False,
+                    "pca_k": 1, "model_name": "CustomCNN",
+                })
+                rows = [{
+                    "layer": "conv5_post", "compare_method": "spearman",
+                    "score": 0.3 + 0.05 * cfg_id + 0.01 * subj,
+                    "ci_low": 0.25, "ci_high": 0.45, "analysis": "rsa",
+                    "layer_selection_scores": [{"layer": "conv5_post", "score": 0.4}],
+                    "bootstrap_scores": list(rng.uniform(0.25, 0.45, 50)),
+                }]
+                save_results(rows, cfg, db_path=db_path)
+
+
+class TestDashboard:
+    def test_summary_and_completeness(self, tmp_path):
+        from visreps_tpu import explore_results
+
+        db = tmp_path / "results.db"
+        _populate_db(db)
+        s = explore_results.summary(db)
+        assert s.iloc[0]["rows"] == 4  # 2 cfgs x 1 seed x 2 subjects
+        comp = explore_results.completeness("nsd", "rsa", db)
+        assert (comp[comp.region == "V1"].seed1 == "x").sum() == 2
+
+    def test_sql_passthrough(self, tmp_path):
+        from visreps_tpu import explore_results
+
+        db = tmp_path / "results.db"
+        _populate_db(db)
+        df = explore_results.run_sql("SELECT COUNT(*) AS n FROM results", db)
+        assert df.n[0] == 4
+
+
+class TestPlotters:
+    def test_query_and_plot(self, tmp_path):
+        from plotters.plotter_utils import (
+            get_bootstrap_ci,
+            plot_coarseness_bars,
+            plot_per_subject,
+            query_best_scores,
+        )
+
+        db = tmp_path / "results.db"
+        _populate_db(db, n_subjects=3, cfgs=(2, 4, 8))
+        df = query_best_scores("nsd", region="V1", db_path=db)
+        assert len(df) == 9
+        lo, hi = get_bootstrap_ci(list(df.run_id[:3]), db_path=db)
+        assert lo < hi
+        out = tmp_path / "fig.png"
+        plot_coarseness_bars(df, str(out), db_path=db)
+        assert out.exists()
+        out2 = tmp_path / "fig2.png"
+        plot_per_subject(df, str(out2))
+        assert out2.exists()
+
+
+class TestCoarseLabels:
+    def test_pca_bit_labels_nested_hierarchy(self, rng):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from scripts.coarsegrain.make_pca_labels import pca_bit_labels
+
+        feats = rng.randn(256, 32).astype(np.float32)
+        eigvecs = np.linalg.qr(rng.randn(32, 6))[0]
+        mean = feats.mean(0)
+        l2 = pca_bit_labels(feats, eigvecs, mean, 1)
+        l4 = pca_bit_labels(feats, eigvecs, mean, 2)
+        # nested: the first bit of the 4-class labels equals the 2-class label
+        np.testing.assert_array_equal(l4 // 2, l2)
+        # median split → balanced halves
+        assert abs(int((l2 == 0).sum()) - 128) <= 1
+
+    def test_eigenvector_pipeline(self, rng, tmp_path):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from scripts.coarsegrain.compute_eigenvectors import main as eig_main
+        from scripts.coarsegrain.make_pca_labels import main as label_main
+
+        feats = (rng.randn(200, 8) @ np.diag([5, 4, 3, 2, 1, 0.5, 0.2, 0.1])).astype(np.float32)
+        ids = np.asarray([f"img{i}.jpg" for i in range(200)])
+        fpath = tmp_path / "features_x.npz"
+        np.savez(fpath, features=feats, image_ids=ids)
+
+        epath = tmp_path / "eig.npz"
+        eig_main(["--features", str(fpath), "--out", str(epath), "--top-k", "4"])
+        eig = np.load(epath)
+        assert eig["eigenvalues"].shape == (4,)
+        assert eig["eigenvalues"][0] >= eig["eigenvalues"][1]
+
+        outdir = tmp_path / "labels"
+        label_main(["--features", str(fpath), "--eigen", str(epath),
+                    "--out-dir", str(outdir), "--max-bits", "3"])
+        import pandas as pd
+
+        df = pd.read_csv(outdir / "n_classes_8.csv")
+        assert set(df.columns) == {"image", "pca_label"}
+        assert df.pca_label.nunique() == 8

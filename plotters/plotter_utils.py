@@ -104,7 +104,7 @@ def coarseness_table(df: pd.DataFrame, cfgs=None) -> pd.DataFrame:
         rows.append({
             "cfg_id": cfg,
             "mean_score": sub.score.mean(),
-            "sem": sub.score.std(ddof=1) / max(np.sqrt(len(sub)), 1),
+            "sem_score": sub.score.std(ddof=1) / max(np.sqrt(len(sub)), 1),
             "n": len(sub),
             "run_ids": list(sub.run_id),
         })
@@ -120,11 +120,11 @@ def plot_coarseness_bars(df: pd.DataFrame, out_path: str, ylabel: str = "RSA sco
     if table.empty:
         print("No rows to plot")
         return None
-    cis = [get_bootstrap_ci(rids, compare_method, db_path) for rids in table.run_ids]
+    cis = [get_bootstrap_ci(rids, compare_method, db_path) for rids in table["run_ids"]]
     ci_lo = [c[0] if np.isfinite(c[0]) else m - s for c, m, s in
-             zip(cis, table.mean_score, table.sem)]
+             zip(cis, table["mean_score"], table["sem_score"])]
     ci_hi = [c[1] if np.isfinite(c[1]) else m + s for c, m, s in
-             zip(cis, table.mean_score, table.sem)]
+             zip(cis, table["mean_score"], table["sem_score"])]
 
     fig, ax = plt.subplots(figsize=(5, 3.5))
     bar_with_ci(ax, list(table.cfg_id), list(table.mean_score), ci_lo, ci_hi)

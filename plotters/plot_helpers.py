@@ -35,10 +35,13 @@ def apply_style(ax, ylabel: str = "", title: str = ""):
 
 def bar_with_ci(ax, xs, means, ci_lows, ci_highs, colors=None, hatch=None, width=0.7):
     colors = colors or coarseness_colors(len(xs))
-    yerr = np.stack([
-        np.asarray(means) - np.asarray(ci_lows),
-        np.asarray(ci_highs) - np.asarray(means),
-    ])
+    yerr = np.maximum(
+        np.stack([
+            np.asarray(means) - np.asarray(ci_lows),
+            np.asarray(ci_highs) - np.asarray(means),
+        ]),
+        0.0,  # aggregated CIs can straddle the mean of a different stat
+    )
     bars = ax.bar(range(len(xs)), means, width=width, color=colors,
                   edgecolor="black", linewidth=0.6, hatch=hatch,
                   yerr=yerr, capsize=3, error_kw={"linewidth": 1.0})

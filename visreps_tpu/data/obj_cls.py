@@ -83,6 +83,26 @@ class ImageNetDataset(LabeledDataset):
                 return wnid
         raise ValueError(f"Label index {label_idx} not found.")
 
+    def get_wordnet_synset(self, label_idx: int):
+        """NLTK Synset for a class index (reference: obj_cls.py:193-206)."""
+        try:
+            import nltk
+            from nltk.corpus import wordnet as wn
+        except ImportError:
+            rprint("nltk not installed; get_wordnet_synset unavailable", style="warning")
+            return None
+        try:
+            wn.ensure_loaded()
+        except LookupError:
+            nltk.download("wordnet")
+            nltk.download("omw-1.4")
+        wnid = self.get_wnid_from_label(label_idx)
+        try:
+            return wn.synset_from_pos_and_offset("n", int(wnid[1:]))
+        except Exception as e:
+            rprint(f"Error retrieving synset for {wnid}: {e}", style="warning")
+            return None
+
 
 class TinyImageNetDataset(LabeledDataset):
     """ImageFolder-style loader for Tiny ImageNet (class subdirs)."""

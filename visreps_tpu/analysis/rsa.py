@@ -35,10 +35,14 @@ def _flat(a: np.ndarray) -> np.ndarray:
 
 
 def select_best_layer(acts: Dict[str, np.ndarray], neural: np.ndarray, method: str,
-                      sel_idx: np.ndarray | None = None):
+                      sel_idx: np.ndarray | None = None, batched: bool = False):
     """Score every layer's RDM against the neural RDM; return scores.
 
-    Same-width layers are scored in a single batched device program.
+    The per-layer loop reuses ONE compiled RDM program and ONE compiled
+    correlation program across all 14 taps (same shapes), so dispatch
+    overhead is negligible while the XLA graphs stay small. ``batched``
+    fuses all same-width layers into a single lax.map program — faster
+    dispatch, but a much larger graph for the compiler.
     """
     method = method.lower()
     if sel_idx is not None:
@@ -50,7 +54,7 @@ def select_best_layer(acts: Dict[str, np.ndarray], neural: np.ndarray, method: s
     dims = {m.shape[1] for m in mats}
 
     scores: Dict[str, float] = {}
-    if len(dims) == 1 and len(names) > 1:
+    if batched and len(dims) == 1 and len(names) > 1:
         stacked = jnp.asarray(np.stack(mats))
         rdms = jax.lax.map(compute_rdm, stacked)
         corr_fn = _CORR[method]

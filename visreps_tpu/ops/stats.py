@@ -36,14 +36,25 @@ def rankdata_dense(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 def rankdata_average(x: jnp.ndarray) -> jnp.ndarray:
     """scipy-compatible average ranks (1-based) for a 1-D array.
 
-    rank_i = (left_i + right_i + 1) / 2 where left/right are the
-    searchsorted bounds of x_i in sorted(x). Equal values share the
-    mean of their rank range, matching scipy.stats.rankdata("average").
+    Tie groups are contiguous after sorting; each group's [start, end]
+    positions come from two max-scans over the group-boundary markers,
+    and every member gets the mean rank (start+end)/2 + 1. Built from
+    argsort + associative_scan + gather only — no searchsorted, no
+    scatter — which keeps the XLA graph lean (large fused searchsorted
+    graphs compile pathologically slowly on some TPU toolchains).
     """
-    xs = jnp.sort(x)
-    lo = jnp.searchsorted(xs, x, side="left")
-    hi = jnp.searchsorted(xs, x, side="right")
-    return (lo + hi + 1).astype(jnp.float32) / 2.0
+    n = x.shape[0]
+    order = jnp.argsort(x)
+    xs = x[order]
+    inv = jnp.argsort(order)  # sorted position of each original element
+    idx = jnp.arange(n)
+    new_grp = jnp.concatenate([jnp.ones((1,), bool), xs[1:] != xs[:-1]])
+    start = jax.lax.associative_scan(jnp.maximum, jnp.where(new_grp, idx, 0))
+    end_marker = jnp.concatenate([new_grp[1:], jnp.ones((1,), bool)])
+    end_rev = jax.lax.associative_scan(jnp.maximum, jnp.where(end_marker[::-1], idx, 0))
+    end = (n - 1) - end_rev[::-1]
+    avg_sorted = (start + end).astype(jnp.float32) / 2.0 + 1.0
+    return avg_sorted[inv]
 
 
 def pearson_corr(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -74,13 +85,13 @@ def _next_pow2(n: int) -> int:
 def _tie_pair_count(v_sorted: jnp.ndarray, n: int) -> jnp.ndarray:
     """Σ c·(c−1)/2 over tie groups of a SORTED vector (float32).
 
-    Uses cnt(v_i) = searchsorted(right) − searchsorted(left); then
-    Σ_groups c(c−1)/2 = (Σ_i cnt(v_i) − n) / 2.
+    With a_i = start position of element i's tie group,
+    Σ_i (i − a_i) = Σ_groups Σ_{j<c} j = Σ c(c−1)/2. One max-scan.
     """
-    lo = jnp.searchsorted(v_sorted, v_sorted, side="left")
-    hi = jnp.searchsorted(v_sorted, v_sorted, side="right")
-    cnt = (hi - lo).astype(jnp.float32)
-    return (jnp.sum(cnt) - n) / 2.0
+    idx = jnp.arange(n)
+    new_grp = jnp.concatenate([jnp.ones((1,), bool), v_sorted[1:] != v_sorted[:-1]])
+    start = jax.lax.associative_scan(jnp.maximum, jnp.where(new_grp, idx, 0))
+    return jnp.sum((idx - start).astype(jnp.float32))
 
 
 def _count_inversions(y: jnp.ndarray) -> jnp.ndarray:

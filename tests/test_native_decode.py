@@ -1,0 +1,85 @@
+"""Native C++ JPEG pipeline tests: PIL parity + loader integration."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from visreps_tpu.data.loader import LabeledDataset, PrefetchLoader, StimuliDataset
+from visreps_tpu.data.transforms import get_transform, load_image
+
+native = pytest.importorskip("visreps_tpu.native")
+if not native.native_available():
+    pytest.skip("native fastimage library unavailable", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def jpegs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, (h, w) in enumerate([(480, 640), (300, 300), (500, 333), (240, 260)]):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        p = root / f"img{i}.jpg"
+        Image.fromarray(img).save(p, quality=92)
+        paths.append(str(p))
+    return paths
+
+
+class TestDecodeParity:
+    def test_matches_pil_pipeline(self, jpegs):
+        tfm = get_transform("imgnet")
+        out = native.decode_batch(jpegs, 256, 224)
+        for i, p in enumerate(jpegs):
+            ref = tfm(load_image(p))
+            # PIL quantizes to uint8 between resize passes; the native
+            # path keeps float32 — bounded by ~1 uint8 step / std.
+            assert np.abs(out[i] - ref).mean() < 0.02
+            assert np.abs(out[i] - ref).max() < 0.15
+
+    def test_hflip(self, jpegs):
+        out = native.decode_batch(jpegs[:1], 256, 224)
+        flipped = native.decode_batch(jpegs[:1], 256, 224, hflip=np.array([1], np.uint8))
+        np.testing.assert_allclose(out[0], flipped[0, :, ::-1], atol=1e-6)
+
+    def test_bad_path_zero_filled(self, jpegs):
+        out = native.decode_batch([jpegs[0], "/nonexistent/x.jpg"], 256, 224,
+                                  mean=(0, 0, 0), std=(1, 1, 1))
+        assert np.abs(out[1]).max() == 0.0
+        assert np.abs(out[0]).max() > 0.0
+
+
+class TestLoaderIntegration:
+    def test_labeled_dataset_native_path(self, jpegs):
+        tfm = get_transform("imgnet", data_augment=False)
+        samples = [(p, i, f"img{i}.jpg") for i, p in enumerate(jpegs)]
+        ds = LabeledDataset(samples, tfm)
+        batch, labels = ds.native_batch(range(len(jpegs)))
+        assert batch.shape == (4, 224, 224, 3)
+        assert labels == [0, 1, 2, 3]
+        # loader end-to-end consistency with the PIL item path
+        loader = PrefetchLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+        (nb, nl), = list(loader)
+        ref0, _ = ds[0]
+        assert np.abs(nb[0] - ref0).mean() < 0.02
+
+    def test_augment_spec_blocks_native(self, jpegs, monkeypatch):
+        monkeypatch.delenv("VISREPS_NATIVE_AUGMENT", raising=False)
+        tfm = get_transform("imgnet", data_augment=True)
+        ds = LabeledDataset([(jpegs[0], 0, "a.jpg")], tfm)
+        assert ds.native_batch([0]) is None
+
+    def test_stimuli_dataset_native_path(self, jpegs):
+        tfm = get_transform("imgnet")
+        stimuli = {f"s{i}": p for i, p in enumerate(jpegs)}
+        ds = StimuliDataset(stimuli, tfm)
+        batch, keys = ds.native_batch(range(len(jpegs)))
+        assert batch.shape == (4, 224, 224, 3)
+        assert keys == sorted(stimuli.keys())
+
+    def test_non_path_stimuli_fall_back(self, jpegs, rng):
+        tfm = get_transform("imgnet")
+        stimuli = {"a": (rng.rand(64, 64, 3) * 255).astype(np.uint8)}
+        ds = StimuliDataset(stimuli, tfm)
+        assert ds.native_batch([0]) is None
+        loader = PrefetchLoader(ds, batch_size=1, shuffle=False, num_workers=1)
+        (batch, keys), = list(loader)
+        assert batch.shape == (1, 224, 224, 3)

@@ -59,18 +59,26 @@ class PrefetchLoader:
         n = len(order)
         bounds = range(0, n - self.batch_size + 1 if self.drop_last else n, self.batch_size)
         batches = [order[i: i + self.batch_size] for i in bounds]
+        native_batch = getattr(self.dataset, "native_batch", None)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def produce():
+        def assemble(idxs):
+            if native_batch is not None:
+                out = native_batch(idxs, n_threads=self.num_workers)
+                if out is not None:
+                    return out
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(self.dataset.__getitem__, idxs))
-                    arrs, metas = zip(*items)
-                    q.put((np.stack(arrs), list(metas)))
+                items = list(pool.map(self.dataset.__getitem__, idxs))
+            arrs, metas = zip(*items)
+            return np.stack(arrs), list(metas)
+
+        def produce():
+            for idxs in batches:
+                if stop.is_set():
+                    break
+                q.put(assemble(idxs))
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
@@ -107,6 +115,31 @@ class StimuliDataset:
         img = load_image(self.stimuli[key])
         return self.transform(img), key
 
+    def native_batch(self, idxs, n_threads: int = 16):
+        """C++ decode when every requested stimulus is a JPEG path."""
+        spec = getattr(self.transform, "spec", None)
+        if spec is None or spec["augment"]:
+            return None
+        keys, paths = [], []
+        for i in idxs:
+            key = self.keys[i]
+            val = self.stimuli[key]
+            if not isinstance(val, str) or not val.lower().endswith((".jpg", ".jpeg")):
+                return None
+            keys.append(key)
+            paths.append(val)
+        try:
+            from visreps_tpu.native import decode_batch, native_available
+        except ImportError:
+            return None
+        if not native_available():
+            return None
+        batch = decode_batch(
+            paths, spec["resize"], spec["crop"], spec["mean"], spec["std"],
+            n_threads=n_threads,
+        )
+        return batch, keys
+
 
 def make_stimuli_loader(stimuli, transform, batch_size: int, num_workers: int = 16) -> PrefetchLoader:
     """shuffle=False loader over a stimulus dict.
@@ -127,6 +160,7 @@ class LabeledDataset:
     def __init__(self, samples: Sequence, transform: Callable):
         self.samples = list(samples)
         self.transform = transform
+        self._native_rng = np.random.RandomState(0)
 
     def __len__(self):
         return len(self.samples)
@@ -136,6 +170,46 @@ class LabeledDataset:
 
         path, label, _ = self.samples[idx]
         return self.transform(load_image(path)), label
+
+    def native_batch(self, idxs, n_threads: int = 16):
+        """Batch decode via the C++ pipeline when eligible, else None.
+
+        Eligible: native lib built, standard transform spec, all-JPEG
+        paths. Augmentation degrades to horizontal flip only (the
+        reference's ±10° rotation is PIL-only; pass
+        ``data_augment=False`` + rotation-free training for exact
+        parity with the native path).
+        """
+        import os
+
+        spec = getattr(self.transform, "spec", None)
+        if spec is None:
+            return None
+        if spec["augment"] and os.environ.get("VISREPS_NATIVE_AUGMENT") != "1":
+            # Default training path keeps PIL (flip + rotation) for
+            # reference parity; opt in to flip-only native augment.
+            return None
+        paths, labels = [], []
+        for i in idxs:
+            path, label, _ = self.samples[i]
+            if not isinstance(path, str) or not path.lower().endswith((".jpg", ".jpeg")):
+                return None
+            paths.append(path)
+            labels.append(label)
+        try:
+            from visreps_tpu.native import decode_batch, native_available
+        except ImportError:
+            return None
+        if not native_available():
+            return None
+        hflip = None
+        if spec["augment"]:
+            hflip = (self._native_rng.rand(len(paths)) < 0.5).astype(np.uint8)
+        batch = decode_batch(
+            paths, spec["resize"], spec["crop"], spec["mean"], spec["std"],
+            hflip=hflip, n_threads=n_threads,
+        )
+        return batch, labels
 
 
 def collate_labels(loader):

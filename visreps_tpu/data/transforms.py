@@ -74,6 +74,15 @@ def get_transform(
             img = img.rotate(angle, resample=Image.NEAREST)
         return to_array(img, mean, std)
 
+    # Machine-readable description so the native C++ decode path
+    # (visreps_tpu/native) can take over for standard pipelines.
+    transform.spec = {
+        "resize": resize_size,
+        "crop": crop_size,
+        "mean": tuple(float(m) for m in mean),
+        "std": tuple(float(s) for s in std),
+        "augment": bool(data_augment),
+    }
     return transform
 
 

@@ -1,0 +1,261 @@
+// fastimage: threaded JPEG decode + PIL-compatible resize + crop + normalize.
+//
+// The reference feeds ImageNet through torch DataLoader worker processes
+// doing PIL decode (visreps/dataloaders/obj_cls.py:249-269). This native
+// pipeline is the TPU build's host-side runtime: libjpeg decode (with
+// optional DCT-domain downscale), a separable triangle-filter resize that
+// matches PIL's antialiased BILINEAR, center crop, normalize to float32
+// NHWC, and an in-house thread pool — one C call per batch.
+//
+// Built as a plain shared library (no pybind11); loaded via ctypes from
+// visreps_tpu/native/__init__.py.
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG file to tightly packed RGB8. Returns true on success.
+// When fast_dct is set, uses libjpeg's DCT-domain scaling to decode at
+// the smallest 1/1..1/8 scale whose shorter side still covers `min_side`.
+bool decode_jpeg(const char* path, int min_side, bool fast_dct,
+                 std::vector<unsigned char>& pixels, int& width, int& height) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+
+  if (fast_dct && min_side > 0) {
+    int denom = 1;
+    int shorter = std::min<int>(cinfo.image_width, cinfo.image_height);
+    while (denom < 8 && shorter / (denom * 2) >= min_side) denom *= 2;
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+  }
+
+  jpeg_start_decompress(&cinfo);
+  width = cinfo.output_width;
+  height = cinfo.output_height;
+  const int channels = cinfo.output_components;  // 3 for JCS_RGB
+  pixels.resize(static_cast<size_t>(width) * height * 3);
+
+  std::vector<unsigned char> row(static_cast<size_t>(width) * channels);
+  unsigned char* rowp = row.data();
+  for (int y = 0; y < height; ++y) {
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    unsigned char* dst = pixels.data() + static_cast<size_t>(y) * width * 3;
+    if (channels == 3) {
+      memcpy(dst, rowp, static_cast<size_t>(width) * 3);
+    } else {  // grayscale fallback
+      for (int x = 0; x < width; ++x) {
+        dst[3 * x] = dst[3 * x + 1] = dst[3 * x + 2] = rowp[x * channels];
+      }
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+// PIL-compatible separable resampling with the BILINEAR (triangle)
+// filter: support scales with the downscale ratio (antialiasing), weights
+// normalized per output pixel — matches PIL ImagingResample semantics.
+struct WeightTable {
+  std::vector<int> bounds;     // (out, 2): start index, count
+  std::vector<float> weights;  // (out, max_taps)
+  int max_taps = 0;
+};
+
+WeightTable build_weights(int in_size, int out_size) {
+  WeightTable wt;
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filter_scale = std::max(scale, 1.0);
+  const double support = 1.0 * filter_scale;  // BILINEAR support = 1
+  wt.max_taps = static_cast<int>(std::ceil(support) * 2 + 1);
+  wt.bounds.resize(static_cast<size_t>(out_size) * 2);
+  wt.weights.assign(static_cast<size_t>(out_size) * wt.max_taps, 0.0f);
+
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    const int taps = xmax - xmin;
+
+    double total = 0.0;
+    std::vector<double> w(taps);
+    for (int k = 0; k < taps; ++k) {
+      double arg = (xmin + k - center + 0.5) / filter_scale;
+      double v = std::abs(arg) < 1.0 ? 1.0 - std::abs(arg) : 0.0;  // triangle
+      w[k] = v;
+      total += v;
+    }
+    if (total == 0.0) total = 1.0;
+    for (int k = 0; k < taps; ++k) {
+      wt.weights[static_cast<size_t>(xx) * wt.max_taps + k] =
+          static_cast<float>(w[k] / total);
+    }
+    wt.bounds[2 * xx] = xmin;
+    wt.bounds[2 * xx + 1] = taps;
+  }
+  return wt;
+}
+
+// Horizontal then vertical resample, uint8 in → float32 out (0..255).
+void resize_image(const unsigned char* src, int in_w, int in_h,
+                  float* dst, int out_w, int out_h) {
+  WeightTable wx = build_weights(in_w, out_w);
+  WeightTable wy = build_weights(in_h, out_h);
+
+  std::vector<float> tmp(static_cast<size_t>(in_h) * out_w * 3);
+  for (int y = 0; y < in_h; ++y) {
+    const unsigned char* srow = src + static_cast<size_t>(y) * in_w * 3;
+    float* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
+    for (int x = 0; x < out_w; ++x) {
+      const int xmin = wx.bounds[2 * x];
+      const int taps = wx.bounds[2 * x + 1];
+      const float* w = &wx.weights[static_cast<size_t>(x) * wx.max_taps];
+      float acc0 = 0, acc1 = 0, acc2 = 0;
+      for (int k = 0; k < taps; ++k) {
+        const unsigned char* p = srow + static_cast<size_t>(xmin + k) * 3;
+        acc0 += w[k] * p[0];
+        acc1 += w[k] * p[1];
+        acc2 += w[k] * p[2];
+      }
+      trow[3 * x] = acc0;
+      trow[3 * x + 1] = acc1;
+      trow[3 * x + 2] = acc2;
+    }
+  }
+  for (int y = 0; y < out_h; ++y) {
+    const int ymin = wy.bounds[2 * y];
+    const int taps = wy.bounds[2 * y + 1];
+    const float* w = &wy.weights[static_cast<size_t>(y) * wy.max_taps];
+    float* drow = dst + static_cast<size_t>(y) * out_w * 3;
+    for (int x = 0; x < out_w * 3; ++x) {
+      float acc = 0;
+      for (int k = 0; k < taps; ++k) {
+        acc += w[k] * tmp[static_cast<size_t>(ymin + k) * out_w * 3 + x];
+      }
+      drow[x] = acc;
+    }
+  }
+}
+
+void process_one(const char* path, int resize_short, int crop,
+                 const float* mean, const float* stdv, bool hflip,
+                 bool fast_dct, float* out) {
+  std::vector<unsigned char> pixels;
+  int w = 0, h = 0;
+  if (!decode_jpeg(path, resize_short, fast_dct, pixels, w, h) || w < 1 || h < 1) {
+    memset(out, 0, static_cast<size_t>(crop) * crop * 3 * sizeof(float));
+    return;
+  }
+
+  // shorter-side resize
+  // Python round() is banker's rounding — use nearbyint (FE_TONEAREST)
+  // so resize dims and crop offsets match the PIL/torchvision pipeline.
+  int rw, rh;
+  if (w <= h) {
+    rw = resize_short;
+    rh = std::max(1, static_cast<int>(std::nearbyint(
+             static_cast<double>(h) * resize_short / w)));
+  } else {
+    rh = resize_short;
+    rw = std::max(1, static_cast<int>(std::nearbyint(
+             static_cast<double>(w) * resize_short / h)));
+  }
+  std::vector<float> resized(static_cast<size_t>(rw) * rh * 3);
+  resize_image(pixels.data(), w, h, resized.data(), rw, rh);
+
+  // center crop + normalize (+ optional horizontal flip)
+  const int left = static_cast<int>(std::nearbyint((rw - crop) / 2.0));
+  const int top = static_cast<int>(std::nearbyint((rh - crop) / 2.0));
+  const float inv255 = 1.0f / 255.0f;
+  for (int y = 0; y < crop; ++y) {
+    const int sy = std::min(std::max(top + y, 0), rh - 1);
+    const float* srow = resized.data() + static_cast<size_t>(sy) * rw * 3;
+    float* drow = out + static_cast<size_t>(y) * crop * 3;
+    for (int x = 0; x < crop; ++x) {
+      const int sx0 = hflip ? (crop - 1 - x) : x;
+      const int sx = std::min(std::max(left + sx0, 0), rw - 1);
+      const float* p = srow + static_cast<size_t>(sx) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float v = std::min(std::max(p[c], 0.0f), 255.0f) * inv255;
+        drow[3 * x + c] = (v - mean[c]) / stdv[c];
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a batch of JPEGs into a (n, crop, crop, 3) float32 NHWC buffer.
+// hflip: optional per-image flip flags (len n) or nullptr.
+// Returns the number of images that failed to decode (zero-filled).
+int decode_resize_batch(const char** paths, int n, int resize_short, int crop,
+                        const float* mean, const float* stdv,
+                        const unsigned char* hflip, int fast_dct,
+                        float* out, int n_threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t stride = static_cast<size_t>(crop) * crop * 3;
+
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      process_one(paths[i], resize_short, crop, mean, stdv,
+                  hflip != nullptr && hflip[i] != 0, fast_dct != 0,
+                  out + stride * i);
+    }
+  };
+
+  int threads = std::max(1, std::min(n_threads, n));
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return failures.load();
+}
+
+}  // extern "C"

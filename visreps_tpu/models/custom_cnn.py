@@ -73,7 +73,8 @@ class CustomCNN(nn.Module):
                 x = self._pool(x)
 
         x = adaptive_avg_pool(x, 3, 3)
-        x = x.reshape(x.shape[0], -1)
+        # channel-major flatten (torch NCHW view) for checkpoint import parity
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
 
         for i, feats in enumerate([4096, 4096], start=1):
             frozen = i <= len(ft) and ft[i - 1] == "0"
@@ -133,7 +134,8 @@ class TinyCustomCNN(nn.Module):
                 x = self._pool(x)
 
         x = adaptive_avg_pool(x, 4, 4)
-        x = x.reshape(x.shape[0], -1)
+        # channel-major flatten (torch NCHW view) for checkpoint import parity
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
 
         for i in (1, 2):
             frozen = i <= len(ft) and ft[i - 1] == "0"

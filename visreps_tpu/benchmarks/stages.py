@@ -1,0 +1,156 @@
+"""Individual benchmark stages, each runnable in an isolated process.
+
+Usage: python -m visreps_tpu.benchmarks.stages <stage> [--size ...]
+Prints one JSON line with the stage's measurements. Run under a parent
+orchestrator (bench.py) so a TPU fault in one stage doesn't kill the
+whole benchmark.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, warmup=1, iters=3):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def stage_extract(batch_size=128, iters=8):
+    """AlexNet 14-tap forward + fused SRP throughput (device pipeline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visreps_tpu.models.extractor import FeatureExtractor
+    from visreps_tpu.models.zoo import init_model
+
+    state = init_model("AlexNet", 1000, seed=0)
+    ex = FeatureExtractor(
+        state, ["conv1", "conv2", "conv3", "conv4", "conv5", "fc1", "fc2"],
+        extract_pre_and_post=True, srp_k=4096, batch_size=batch_size,
+    )
+    proj = ex._proj_dict()
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch_size, 224, 224, 3), jnp.float32)
+    t = _timeit(lambda: ex._srp_step(state.variables, proj, x), warmup=2, iters=iters)
+    return {"images_per_sec": batch_size / t, "batch_ms": t * 1000}
+
+
+def stage_forward(batch_size=128, iters=8):
+    """Plain AlexNet forward (no taps) for reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from visreps_tpu.models.zoo import init_model
+
+    state = init_model("AlexNet", 1000, seed=0)
+
+    @jax.jit
+    def fwd(v, x):
+        logits, _ = state.module.apply(v, x, train=False, capture=())
+        return logits
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch_size, 224, 224, 3), jnp.float32)
+    t = _timeit(lambda: fwd(state.variables, x), warmup=2, iters=iters)
+    return {"images_per_sec": batch_size / t}
+
+
+def stage_rdm(n=10000, d=4096):
+    import jax
+
+    from visreps_tpu.ops.rdm import compute_rdm
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, d))
+    t = _timeit(compute_rdm, x, warmup=1, iters=2)
+    return {"rdm_ms": t * 1000, "n": n, "d": d}
+
+
+def stage_rdm_pallas(n=10000, d=4096):
+    import jax
+
+    from visreps_tpu.ops.rdm_pallas import compute_rdm_pallas
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, d))
+    t32 = _timeit(lambda: compute_rdm_pallas(x, bf16=False), warmup=1, iters=2)
+    t16 = _timeit(lambda: compute_rdm_pallas(x, bf16=True), warmup=1, iters=2)
+    return {"rdm_pallas_f32_ms": t32 * 1000, "rdm_pallas_bf16_ms": t16 * 1000}
+
+
+def stage_bootstrap(n=1000, n_bootstrap=1000, method="spearman", chunk=16):
+    import jax
+    import jax.numpy as jnp
+
+    from visreps_tpu.ops.bootstrap import _bootstrap_scores, bootstrap_indices
+    from visreps_tpu.ops.rdm import compute_rdm
+
+    a = jax.random.normal(jax.random.PRNGKey(2), (n, 512))
+    b = a + 0.5 * jax.random.normal(jax.random.PRNGKey(3), (n, 512))
+    rdm_a, rdm_b = compute_rdm(a), compute_rdm(b)
+    idx = jnp.asarray(bootstrap_indices(n, n_bootstrap))
+    t = _timeit(lambda: _bootstrap_scores(rdm_a, rdm_b, idx, method, chunk),
+                warmup=1, iters=2)
+    return {"bootstraps_per_sec": n_bootstrap / t, "method": method}
+
+
+def stage_selection(n_sel=1000, k=4096, n_taps=14, method="spearman"):
+    """Phase-1 layer selection for one (region, subject)."""
+    from visreps_tpu.analysis.rsa import select_best_layer
+
+    rng = np.random.RandomState(0)
+    acts = {f"tap{i}": rng.randn(n_sel, k).astype(np.float32) for i in range(n_taps)}
+    neural = rng.randn(n_sel, 512).astype(np.float32)
+    select_best_layer(acts, neural, method)  # compile
+    t0 = time.perf_counter()
+    select_best_layer(acts, neural, method)
+    return {"selection_s": time.perf_counter() - t0}
+
+
+def stage_ridge(n=9000, d=4096, v=7604):
+    """Full NSD-ventral-scale RidgeCV fit + predict."""
+    import jax
+
+    from visreps_tpu.ops.ridge import ridge_cv
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (n, d))
+    w = jax.random.normal(jax.random.PRNGKey(5), (d, v)) / 64.0
+    y = x @ w + jax.random.normal(jax.random.PRNGKey(6), (n, v))
+
+    def run():
+        return ridge_cv(x, y).weights
+
+    t = _timeit(run, warmup=1, iters=1)
+    return {"ridge_cv_s": t, "n": n, "d": d, "v": v}
+
+
+STAGES = {
+    "extract": stage_extract,
+    "forward": stage_forward,
+    "rdm": stage_rdm,
+    "rdm_pallas": stage_rdm_pallas,
+    "bootstrap": stage_bootstrap,
+    "bootstrap_kendall": lambda: stage_bootstrap(n=500, n_bootstrap=50, method="kendall", chunk=4),
+    "selection": stage_selection,
+    "ridge": stage_ridge,
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("stage", choices=list(STAGES))
+    args = parser.parse_args(argv)
+    result = STAGES[args.stage]()
+    print(json.dumps({"stage": args.stage, **result}))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,9 +116,19 @@ def _count_inversions(y: jnp.ndarray) -> jnp.ndarray:
         nb = P // (2 * w)
         blocks = a.reshape(nb, 2, w)
         L, R = blocks[:, 0, :], blocks[:, 1, :]
-        # inversions for r in R against L: #{l in L : l > r}
-        pos = jax.vmap(lambda l, r: jnp.searchsorted(l, r, side="right"))(L, R)
-        counts = (w - pos).astype(jnp.int32)  # (nb, w), each ≤ w
+        # inversions for r in R against L: #{l in L : l > r}, via an
+        # explicit batched binary search (take_along_axis + select only
+        # — avoids searchsorted's heavyweight lowering inside a large
+        # fused graph).
+        lo = jnp.zeros(R.shape, jnp.int32)
+        hi = jnp.full(R.shape, w, jnp.int32)
+        for _ in range(max(1, w.bit_length())):
+            mid = (lo + hi) // 2
+            vals = jnp.take_along_axis(L, jnp.clip(mid, 0, w - 1), axis=1)
+            go_right = (vals <= R) & (mid < w)
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        counts = (w - lo).astype(jnp.int32)  # (nb, w), each ≤ w
         acc = acc.at[: nb * w].add(counts.reshape(-1))
         a = jnp.sort(blocks.reshape(nb, 2 * w), axis=-1).reshape(-1)
         w *= 2

@@ -119,6 +119,12 @@ class Trainer:
         cfg = self.cfg
         self.rng = jax.random.PRNGKey(cfg.seed)
 
+        # Device-side augmentation: host loaders stay augment-free and a
+        # jitted flip+rotate runs on the batch (data/augment.py).
+        self.device_augment = bool(cfg.get("device_augment", False))
+        if self.device_augment:
+            cfg = cfg.merge({"data_augment": False})
+
         self.datasets, self.loaders = get_obj_cls_loader(cfg)
         num_classes = (
             cfg.pca_n_classes if cfg.get("pca_labels") else self.datasets["train"].num_classes
@@ -140,9 +146,14 @@ class Trainer:
 
         self.checkpoint_dir = None
         self.cfg_dict = None
+        self.start_epoch = 1
         if cfg.get("log_checkpoints"):
             self.checkpoint_dir, self.cfg_dict = ckpt.setup_checkpoint_dir(cfg, self.state)
-            ckpt.save_checkpoint(self.checkpoint_dir, 0, self.state, {}, self.cfg_dict)
+            resume_epoch = cfg.get("resume_from_epoch", 0)
+            if resume_epoch:
+                self._resume(resume_epoch)
+            else:
+                ckpt.save_checkpoint(self.checkpoint_dir, 0, self.state, {}, self.cfg_dict)
 
         self.metrics_logger = MetricsLogger(cfg, self.checkpoint_dir)
 
@@ -155,8 +166,24 @@ class Trainer:
                 self.state.batch_stats = jax.device_put(self.state.batch_stats, replicated)
             self.opt_state = jax.device_put(self.opt_state, replicated)
 
+    def _resume(self, epoch: int):
+        """Mid-training resume (improvement over the reference, which
+        has no resume path — SURVEY.md §5.4)."""
+        import os
+
+        path = os.path.join(self.checkpoint_dir, f"checkpoint_epoch_{epoch}.pth")
+        state, payload = ckpt.load_checkpoint(path)
+        self.state = state
+        opt = ckpt.load_resume_state(self.checkpoint_dir, epoch)
+        if opt is not None:
+            self.opt_state = jax.tree_util.tree_map(jnp.asarray, opt)
+        self.global_step = epoch * self.steps_per_epoch
+        self.start_epoch = epoch + 1
+        rprint(f"Resumed from epoch {epoch} ({path})", style="success")
+
     def _put(self, x):
-        x = jnp.asarray(np.asarray(x))
+        if not isinstance(x, jax.Array):
+            x = jnp.asarray(np.asarray(x))
         if self._data_sharding is not None:
             x = jax.device_put(x, self._data_sharding)
         return x
@@ -174,6 +201,11 @@ class Trainer:
         lr = lr_at_epoch(self.cfg, epoch - 1)
         for images, labels in self.loaders["train"]:
             self.rng, dk = jax.random.split(self.rng)
+            if self.device_augment:
+                from visreps_tpu.data.augment import augment_batch
+
+                self.rng, ak = jax.random.split(self.rng)
+                images = augment_batch(ak, self._put(images))
             params, stats, opt, loss, gn = self.train_step(
                 self.state.params, self.state.batch_stats, self.opt_state,
                 self._put(images), self._put(labels), dk,
@@ -192,7 +224,7 @@ class Trainer:
     def train(self):
         start = time.time()
         cfg = self.cfg
-        for epoch in range(1, cfg.num_epochs + 1):
+        for epoch in range(self.start_epoch, cfg.num_epochs + 1):
             epoch_loss, epoch_metrics = self.train_epoch(epoch)
             metrics = {"epoch": epoch, "epoch_metrics": epoch_metrics}
 

@@ -14,17 +14,30 @@ import time
 import numpy as np
 
 
-def _timeit(fn, *args, warmup=1, iters=3):
-    import jax
+def _force(out) -> float:
+    """Force execution by fetching a scalar reduction to the host.
 
+    block_until_ready alone does not reliably wait through the axon
+    remote-execution relay; a host fetch does.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
+def _timeit(fn, *args, warmup=1, iters=3):
+    """Amortized per-call seconds: dispatch `iters` calls back-to-back
+    (device queue pipelines them), then force one host fetch."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
+        _force(fn(*args))
+    t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return min(times)
+        out = fn(*args)
+    _force(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def stage_extract(batch_size=128, iters=8):

@@ -51,9 +51,13 @@ def _bootstrap_scores(rdm_a, rdm_b, idx, method: str, chunk: int):
     iu, ju = jnp.triu_indices(m, k=1)
 
     def one(ix):
-        sub_a = rdm_a[ix[:, None], ix[None, :]][iu, ju]
-        sub_b = rdm_b[ix[:, None], ix[None, :]][iu, ju]
-        return _CORR[method](sub_a, sub_b)
+        # Gather the sub-RDM's upper triangle DIRECTLY from the full
+        # matrix (one m(m−1)/2 gather per matrix) instead of building
+        # the (m, m) sub-matrix first — half the memory traffic and a
+        # much leaner XLA graph.
+        ia = ix[iu]
+        ja = ix[ju]
+        return _CORR[method](rdm_a[ia, ja], rdm_b[ia, ja])
 
     n_boot = idx.shape[0]
     chunk = min(chunk, n_boot)  # keep pad < n_boot so idx[:pad] suffices

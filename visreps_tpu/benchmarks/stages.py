@@ -9,9 +9,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent compilation cache: compiled executables survive across
+# stage subprocesses (critical on remote-compile TPU terminals where
+# cold compiles take minutes).
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 def _force(out) -> float:

@@ -112,15 +112,22 @@ def stage_bootstrap(n=1000, n_bootstrap=1000, method="spearman", chunk=16):
     import jax
     import jax.numpy as jnp
 
-    from visreps_tpu.ops.bootstrap import _bootstrap_scores, bootstrap_indices
+    from visreps_tpu.ops.bootstrap import (
+        _bootstrap_scores,
+        _bootstrap_spearman_fast,
+        bootstrap_indices,
+    )
     from visreps_tpu.ops.rdm import compute_rdm
 
     a = jax.random.normal(jax.random.PRNGKey(2), (n, 512))
     b = a + 0.5 * jax.random.normal(jax.random.PRNGKey(3), (n, 512))
     rdm_a, rdm_b = compute_rdm(a), compute_rdm(b)
     idx = jnp.asarray(bootstrap_indices(n, n_bootstrap))
-    t = _timeit(lambda: _bootstrap_scores(rdm_a, rdm_b, idx, method, chunk),
-                warmup=1, iters=2)
+    if method == "spearman":
+        fn = lambda: _bootstrap_spearman_fast(rdm_a, rdm_b, idx, chunk)  # noqa: E731
+    else:
+        fn = lambda: _bootstrap_scores(rdm_a, rdm_b, idx, method, chunk)  # noqa: E731
+    t = _timeit(fn, warmup=1, iters=2)
     return {"bootstraps_per_sec": n_bootstrap / t, "method": method}
 
 

@@ -45,6 +45,63 @@ def bootstrap_indices(
     ).astype(np.int32)
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def _bootstrap_spearman_fast(rdm_a, rdm_b, idx, chunk: int):
+    """Sort-free Spearman bootstrap.
+
+    The sub-RDM's upper triangle is a SUBSET of the full triangle, so:
+      1. rank every full-triangle element ONCE (two argsorts total);
+      2. per bootstrap, map the selected (i, j) pairs to flat triangle
+         positions arithmetically, gather their global rank positions,
+         and recover within-subset ranks with a scatter + cumsum over
+         the occupancy vector — no per-iteration sort;
+      3. subset ranks are tie-free permutations, so Spearman collapses
+         to the classic 1 − 6·Σd²/(m(m²−1)) formula.
+
+    Exactly matches scipy when the selected values are distinct (float
+    RDM entries tie only via clamping); exact ties get dense instead
+    of average ranks. The per-iteration graph is two gathers, two
+    scatters, two cumsums and a reduction — it both compiles and runs
+    orders of magnitude faster than the sort-based formulation.
+    """
+    n = rdm_a.shape[0]
+    m_sub = idx.shape[1]
+    iu, ju = jnp.triu_indices(m_sub, k=1)
+    m_pairs = iu.shape[0]
+
+    va = rdm_a[jnp.triu_indices(n, k=1)]
+    vb = rdm_b[jnp.triu_indices(n, k=1)]
+    big = va.shape[0]
+    pa_full = jnp.argsort(jnp.argsort(va)).astype(jnp.int32)
+    pb_full = jnp.argsort(jnp.argsort(vb)).astype(jnp.int32)
+
+    def one(ix):
+        a = ix[iu]
+        b = ix[ju]
+        i_ = jnp.minimum(a, b).astype(jnp.int32)
+        j_ = jnp.maximum(a, b).astype(jnp.int32)
+        sel = i_ * n - (i_ * (i_ + 1)) // 2 + (j_ - i_ - 1)
+
+        def subset_ranks(p_full):
+            p = p_full[sel]
+            occ = jnp.zeros((big,), jnp.int32).at[p].set(1)
+            return jnp.cumsum(occ)[p].astype(jnp.float32)  # 1..m_pairs
+
+        ra = subset_ranks(pa_full)
+        rb = subset_ranks(pb_full)
+        d2 = jnp.sum((ra - rb) ** 2)
+        m = jnp.float32(m_pairs)
+        return 1.0 - 6.0 * d2 / (m * (m * m - 1.0))
+
+    n_boot = idx.shape[0]
+    chunk = min(chunk, n_boot)
+    n_chunks = -(-n_boot // chunk)
+    pad = n_chunks * chunk - n_boot
+    idx_p = jnp.concatenate([idx, idx[:pad]]) if pad else idx
+    scores = jax.lax.map(jax.vmap(one), idx_p.reshape(n_chunks, chunk, m_sub))
+    return scores.reshape(-1)[:n_boot]
+
+
 @partial(jax.jit, static_argnames=("method", "chunk"))
 def _bootstrap_scores(rdm_a, rdm_b, idx, method: str, chunk: int):
     m = idx.shape[1]
@@ -77,21 +134,26 @@ def bootstrap_rdm_correlation(
     method: str = "spearman",
     chunk: int = 16,
     indices: np.ndarray | None = None,
+    exact_ties: bool = False,
 ) -> np.ndarray:
     """Bootstrap distribution of RDM correlations (float64 numpy out).
 
-    Gathers a (m, m) sub-RDM per iteration, vectorizes its upper
-    triangle, and correlates — ``chunk`` iterations at a time to bound
-    HBM for the rank sorts. Returns the full score distribution for
-    percentile CIs (reference computes 2.5/97.5 percentiles).
+    Spearman uses the sort-free rank-subset formulation by default
+    (identical to scipy when sampled values are distinct; set
+    ``exact_ties=True`` for scipy's average-tie handling on tied
+    values at the cost of per-iteration sorts). Pearson/Kendall run the
+    general gathered-triangle path. Returns the full score distribution
+    for percentile CIs (reference computes 2.5/97.5 percentiles).
     """
     rdm_model = jnp.asarray(rdm_model, dtype=jnp.float32)
     rdm_neural = jnp.asarray(rdm_neural, dtype=jnp.float32)
     if indices is None:
         indices = bootstrap_indices(rdm_model.shape[0], n_bootstrap, subsample_frac, seed)
-    scores = _bootstrap_scores(
-        rdm_model, rdm_neural, jnp.asarray(indices), method.lower(), chunk
-    )
+    method = method.lower()
+    if method == "spearman" and not exact_ties:
+        scores = _bootstrap_spearman_fast(rdm_model, rdm_neural, jnp.asarray(indices), chunk)
+    else:
+        scores = _bootstrap_scores(rdm_model, rdm_neural, jnp.asarray(indices), method, chunk)
     return np.asarray(scores, dtype=np.float64)
 
 

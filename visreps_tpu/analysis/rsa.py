@@ -23,11 +23,11 @@ import numpy as np
 from visreps_tpu.core.logging import rprint
 from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation, percentile_ci
 from visreps_tpu.ops.rdm import compute_rdm, compute_rdm_correlation, upper_triangle
-from visreps_tpu.ops.stats import kendall_tau_a, pearson_corr, spearman_corr
+from visreps_tpu.ops.stats import kendall_tau_a, pearson_corr, spearman_corr_dense
 
 logger = logging.getLogger(__name__)
 
-_CORR = {"pearson": pearson_corr, "spearman": spearman_corr, "kendall": kendall_tau_a}
+_CORR = {"pearson": pearson_corr, "spearman": spearman_corr_dense, "kendall": kendall_tau_a}
 
 
 def _flat(a: np.ndarray) -> np.ndarray:

@@ -23,6 +23,7 @@ from visreps_tpu.ops.stats import (
     pearson_corr,
     rankdata_dense,
     spearman_corr,
+    spearman_corr_dense,
 )
 
 
@@ -73,7 +74,11 @@ def upper_triangle(rdm: jnp.ndarray) -> jnp.ndarray:
 
 _CORR_FUNCS = {
     "pearson": pearson_corr,
-    "spearman": spearman_corr,
+    # Dense-rank Σd² Spearman: scipy-identical on distinct values (the
+    # float-RDM case); compiles orders of magnitude faster on TPU. Use
+    # ops.stats.spearman_corr for exact average-tie handling.
+    "spearman": spearman_corr_dense,
+    "spearman_exact": spearman_corr,
     "kendall": kendall_tau_a,
 }
 

@@ -49,7 +49,9 @@ def _timeit(fn, *args, warmup=1, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
-def stage_extract(batch_size=128, iters=8):
+def stage_extract(batch_size=128, iters=8, compute_dtype=None,
+                  model="AlexNet", srp_k=4096, image_size=224,
+                  return_nodes=("conv1", "conv2", "conv3", "conv4", "conv5", "fc1", "fc2")):
     """AlexNet 14-tap forward + fused SRP throughput (device pipeline)."""
     import jax
     import jax.numpy as jnp
@@ -57,15 +59,19 @@ def stage_extract(batch_size=128, iters=8):
     from visreps_tpu.models.extractor import FeatureExtractor
     from visreps_tpu.models.zoo import init_model
 
-    state = init_model("AlexNet", 1000, seed=0)
+    state = init_model(model, 1000, seed=0)
     ex = FeatureExtractor(
-        state, ["conv1", "conv2", "conv3", "conv4", "conv5", "fc1", "fc2"],
-        extract_pre_and_post=True, srp_k=4096, batch_size=batch_size,
+        state, list(return_nodes),
+        extract_pre_and_post=True, srp_k=srp_k, batch_size=batch_size,
+        compute_dtype=compute_dtype, image_size=image_size,
     )
     proj = ex._proj_dict()
-    x = jax.random.normal(jax.random.PRNGKey(0), (batch_size, 224, 224, 3), jnp.float32)
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (batch_size, image_size, image_size, 3), jnp.float32
+    )
     t = _timeit(lambda: ex._srp_step(state.variables, proj, x), warmup=2, iters=iters)
-    return {"images_per_sec": batch_size / t, "batch_ms": t * 1000}
+    return {"images_per_sec": batch_size / t, "batch_ms": t * 1000,
+            "compute_dtype": compute_dtype or "f32"}
 
 
 def stage_forward(batch_size=128, iters=8):
@@ -163,6 +169,7 @@ def stage_ridge(n=9000, d=4096, v=7604):
 
 STAGES = {
     "extract": stage_extract,
+    "extract_bf16": lambda: stage_extract(compute_dtype="bf16"),
     "forward": stage_forward,
     "rdm": stage_rdm,
     "rdm_pallas": stage_rdm_pallas,

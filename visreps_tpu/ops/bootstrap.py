@@ -66,30 +66,29 @@ def _bootstrap_spearman_fast(rdm_a, rdm_b, idx, chunk: int):
     """
     n = rdm_a.shape[0]
     m_sub = idx.shape[1]
-    iu, ju = jnp.triu_indices(m_sub, k=1)
-    m_pairs = iu.shape[0]
+    m_pairs = (m_sub * (m_sub - 1)) // 2
 
-    va = rdm_a[jnp.triu_indices(n, k=1)]
-    vb = rdm_b[jnp.triu_indices(n, k=1)]
-    big = va.shape[0]
-    pa_full = jnp.argsort(jnp.argsort(va)).astype(jnp.int32)
-    pb_full = jnp.argsort(jnp.argsort(vb)).astype(jnp.int32)
+    iu_full, ju_full = jnp.triu_indices(n, k=1)  # static pair → stimuli map
+    va = rdm_a[iu_full, ju_full]
+    vb = rdm_b[iu_full, ju_full]
+    # Sorted order of every full-triangle element (computed ONCE):
+    # order[k] = element at sorted position k; pos[e] = e's position.
+    order_a = jnp.argsort(va)
+    order_b = jnp.argsort(vb)
+    pos_a = jnp.argsort(order_a)
+    pos_b = jnp.argsort(order_b)
 
     def one(ix):
-        a = ix[iu]
-        b = ix[ju]
-        i_ = jnp.minimum(a, b).astype(jnp.int32)
-        j_ = jnp.maximum(a, b).astype(jnp.int32)
-        sel = i_ * n - (i_ * (i_ + 1)) // 2 + (j_ - i_ - 1)
-
-        def subset_ranks(p_full):
-            p = p_full[sel]
-            occ = jnp.zeros((big,), jnp.int32).at[p].set(1)
-            return jnp.cumsum(occ)[p].astype(jnp.float32)  # 1..m_pairs
-
-        ra = subset_ranks(pa_full)
-        rb = subset_ranks(pb_full)
-        d2 = jnp.sum((ra - rb) ** 2)
+        # Tiny scatter: which stimuli are in this subsample.
+        included = jnp.zeros((n,), jnp.int32).at[ix].set(1)
+        # Pair selected iff both stimuli selected (static-index gathers).
+        sel_mask = included[iu_full] * included[ju_full]
+        # Subset rank of every element = #selected elements at or before
+        # its sorted position: permute the mask into sorted order,
+        # cumsum, read back at each element's own position.
+        ra = jnp.cumsum(sel_mask[order_a])[pos_a].astype(jnp.float32)
+        rb = jnp.cumsum(sel_mask[order_b])[pos_b].astype(jnp.float32)
+        d2 = jnp.sum(jnp.where(sel_mask == 1, (ra - rb) ** 2, 0.0))
         m = jnp.float32(m_pairs)
         return 1.0 - 6.0 * d2 / (m * (m * m - 1.0))
 

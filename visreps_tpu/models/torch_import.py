@@ -257,6 +257,58 @@ def find_torch_weight_file(model_name: str) -> Path | None:
     return None
 
 
+def load_reference_checkpoint(path: str, num_classes: int | None = None,
+                              model_name: str = "CustomCNN"):
+    """Import a reference visreps checkpoint (whole pickled nn.Module).
+
+    The reference pickles entire torch modules
+    (visreps/models/utils.py:509-520), so unpickling needs the original
+    class objects. Stub classes are registered under the reference's
+    module paths (including the legacy 'visreps.models.custom_cnn'
+    alias) — torch restores the module tree onto them, and the state
+    dict is then converted to our flax parameters.
+    """
+    import sys
+    import types
+
+    import torch
+    import torch.nn as nn
+
+    def _make_stub_module(qualname: str, class_names):
+        mod = types.ModuleType(qualname)
+        for cname in class_names:
+            mod.__dict__[cname] = type(cname, (nn.Module,), {})
+        sys.modules.setdefault(qualname, mod)
+        # ensure parent packages exist
+        parts = qualname.split(".")
+        for i in range(1, len(parts)):
+            parent = ".".join(parts[:i])
+            sys.modules.setdefault(parent, types.ModuleType(parent))
+        return mod
+
+    for qualname in ("visreps.models.custom_model", "visreps.models.custom_cnn",
+                     "visreps.models.standard_model", "visreps.models.ecnet"):
+        _make_stub_module(qualname, ["CustomCNN", "TinyCustomCNN", "BaseCNN",
+                                     "ECTiedNet", "ECBlock", "DivisiveNorm", "BlurPool2d"])
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    torch_model = payload["model"] if isinstance(payload, dict) and "model" in payload else payload
+    sd = torch_model.state_dict()
+
+    # Infer class count from the final classifier weight
+    head_keys = [k for k in sd if k.endswith(".weight") and sd[k].ndim == 2]
+    n_cls = num_classes or int(sd[head_keys[-1]].shape[0])
+
+    from visreps_tpu.models.zoo import init_model
+
+    name = "TinyCustomCNN" if model_name.lower().startswith("tiny") else model_name
+    state = init_model(name, n_cls, seed=0)
+    state = apply_torch_state_dict(state, name, sd, n_cls)
+    config = payload.get("config") if isinstance(payload, dict) else None
+    rprint(f"  Imported reference checkpoint: {path} ({n_cls} classes)", style="success")
+    return state, config
+
+
 def load_pretrained_torch(state, model_name: str, num_classes: int | None = None):
     """Import IMAGENET1K torchvision weights if the file is on disk."""
     path = find_torch_weight_file(model_name)

@@ -124,8 +124,21 @@ def jax_unfreeze(tree):
 
 
 def load_checkpoint(path: str | Path):
-    """Returns (ModelState, payload_dict)."""
+    """Returns (ModelState, payload_dict).
+
+    Accepts both this framework's pytree pickles and the reference's
+    torch whole-module checkpoints (zip magic 'PK') — the latter are
+    converted on the fly via models/torch_import.py.
+    """
     from visreps_tpu.models.zoo import ModelState
+
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"PK":  # torch zipfile checkpoint from the reference
+        from visreps_tpu.models.torch_import import load_reference_checkpoint
+
+        state, config = load_reference_checkpoint(str(path))
+        return state, {"config": config}
 
     with open(path, "rb") as f:
         payload = pickle.load(f)

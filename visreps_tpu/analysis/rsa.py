@@ -63,9 +63,16 @@ def select_best_layer(acts: Dict[str, np.ndarray], neural: np.ndarray, method: s
         for name, v in zip(names, np.asarray(vals)):
             scores[name] = float(v)
     else:
-        for name, m in zip(names, mats):
-            rdm = compute_rdm(jnp.asarray(m))
-            scores[name] = compute_rdm_correlation(rdm, neural_rdm, correlation=method)
+        # Dispatch all layers before fetching: the device queue
+        # pipelines the 14 RDM+correlation programs, and the single
+        # device_get at the end avoids 14 host round trips (expensive
+        # through a remote-execution relay).
+        tri_neural = upper_triangle(neural_rdm)
+        corr_fn = _CORR[method]
+        pending = [corr_fn(upper_triangle(compute_rdm(jnp.asarray(m))), tri_neural)
+                   for m in mats]
+        for name, v in zip(names, jax.device_get(pending)):
+            scores[name] = float(v)
     return scores
 
 

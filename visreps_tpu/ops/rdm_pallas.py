@@ -1,16 +1,18 @@
 """Pallas TPU kernel: fused correlation-RDM construction.
 
 Computes rdm = 1 − clip(corr(x_i, x_j)) for all row pairs with the
-Gram product tiled onto the MXU and the full epilogue (variance
-normalization, clamp to [−1, 1], unit diagonal → zero dissimilarity)
-fused into the output tile — the (n, n) correlation matrix is written
-to HBM exactly once, already in RDM form. Optionally takes bf16 rows
-(2× MXU throughput) with f32 accumulation.
+Gram product tiled onto the MXU and the epilogue (clamp to [−1, 1],
+unit diagonal → zero dissimilarity) fused into the output tile — the
+(n, n) matrix is written to HBM exactly once, already in RDM form.
+Rows are centered and variance-normalized BEFORE the kernel (folding
+1/(std·√d) into the rows keeps the kernel free of 1-D operands, whose
+Mosaic layouts clash with XLA's). Optionally takes bf16 rows (2× MXU
+throughput) with f32 accumulation.
 
 Semantics match ops.rdm.compute_rdm (reference:
-visreps/analysis/rsa.py:59-93) with rows pre-centered by the caller
-wrapper; the epsilon-stabilized denominator uses the same
-std = sqrt(mean(x²) + eps) with the zero-variance guard.
+visreps/analysis/rsa.py:59-93) up to the epsilon in the denominator
+(std_i·std_j + eps vs exact normalization — negligible for
+non-degenerate rows; the zero-variance guard is preserved).
 """
 from __future__ import annotations
 
@@ -24,10 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 from visreps_tpu.ops.stats import rankdata_dense
 
 
-def _rdm_kernel(xi_ref, xj_ref, si_ref, sj_ref, out_ref, acc_ref, *, n_feat, correction):
+def _rdm_kernel(xi_ref, xj_ref, out_ref, acc_ref):
     """Grid (i, j, k): accumulate xi·xjᵀ over k, epilogue on last k."""
-    # program_id reads stay at kernel top level (inside pl.when bodies
-    # they fail to lower under the CPU interpreter used in tests).
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
@@ -45,9 +45,7 @@ def _rdm_kernel(xi_ref, xj_ref, si_ref, sj_ref, out_ref, acc_ref, *, n_feat, cor
 
     @pl.when(k == nk - 1)
     def _():
-        cov = acc_ref[:] / n_feat
-        denom = si_ref[:].reshape(-1, 1) * sj_ref[:].reshape(1, -1) + correction
-        corr = jnp.clip(cov / denom, -1.0, 1.0)
+        corr = jnp.clip(acc_ref[:], -1.0, 1.0)
         bm, bn = out_ref.shape
         rows = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0) + i * bm
         cols = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1) + j * bn
@@ -85,29 +83,26 @@ def compute_rdm_pallas(
     n, d = x.shape
     x = x - x.mean(axis=1, keepdims=True)
     std = jnp.sqrt(jnp.mean(x * x, axis=1) + correction)
-    std = jnp.where(std < correction * 10, 1.0, std)
+    std = jnp.where(std < correction * 10, 1.0, std)  # zero-variance guard
+    # Fold normalization into the rows: xi·xjᵀ then IS the correlation.
+    x = x / (std[:, None] * jnp.sqrt(jnp.float32(d)))
 
     xp = _pad_to(_pad_to(x, block_n, 0), block_k, 1)
-    # Padded rows have std 0 → guard denominator with 1s.
-    sp = _pad_to(jnp.where(std <= 0, 1.0, std), block_n, 0)
-    sp = jnp.where(sp == 0, 1.0, sp)
     np_, dp = xp.shape
     if bf16:
         xp = xp.astype(jnp.bfloat16)
 
     grid = (np_ // block_n, np_ // block_n, dp // block_k)
     out = pl.pallas_call(
-        partial(_rdm_kernel, n_feat=d, correction=correction),
+        _rdm_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_n, block_k), lambda i, j, k: (i, k)),
             pl.BlockSpec((block_n, block_k), lambda i, j, k: (j, k)),
-            pl.BlockSpec((block_n,), lambda i, j, k: (i,)),
-            pl.BlockSpec((block_n,), lambda i, j, k: (j,)),
         ],
         out_specs=pl.BlockSpec((block_n, block_n), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((np_, np_), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_n, block_n), jnp.float32)],
         interpret=interpret,
-    )(xp, xp, sp, sp)
+    )(xp, xp)
     return out[:n, :n]

@@ -34,20 +34,50 @@ def _flat(a: np.ndarray) -> np.ndarray:
     return a.reshape(a.shape[0], -1) if a.ndim > 2 else a
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("method",))
+def _select_scores_batched(stacked, neural, method: str):
+    """(L, n, d) taps + (n, v) neural → (L,) RDM-comparison scores.
+
+    All L rank transforms run as ONE batched double-argsort (XLA sorts
+    the batch dimension in parallel — the serial per-layer version is
+    sort-latency-bound on TPU).
+    """
+    n = stacked.shape[1]
+    neural_rdm = compute_rdm(neural)
+    iu, ju = jnp.triu_indices(n, k=1)
+    tri_n = neural_rdm[iu, ju]
+    rdms = jax.lax.map(compute_rdm, stacked)      # (L, n, n) — MXU-bound
+    tri = rdms[:, iu, ju]                          # (L, M)
+
+    if method == "pearson":
+        xc = tri - tri.mean(axis=1, keepdims=True)
+        yc = tri_n - tri_n.mean()
+        denom = jnp.sqrt(jnp.sum(xc * xc, axis=1) * jnp.sum(yc * yc))
+        return jnp.sum(xc * yc[None, :], axis=1) / denom
+    if method == "spearman":
+        rx = jnp.argsort(jnp.argsort(tri, axis=1), axis=1).astype(jnp.float32)
+        ry = jnp.argsort(jnp.argsort(tri_n)).astype(jnp.float32)
+        d2 = jnp.sum((rx - ry[None, :]) ** 2, axis=1)
+        m = jnp.float32(tri.shape[1])
+        return 1.0 - 6.0 * d2 / (m * (m * m - 1.0))
+    # kendall: O(n log² n) merge counting per layer, mapped
+    return jax.lax.map(lambda t: kendall_tau_a(t, tri_n), tri)
+
+
 def select_best_layer(acts: Dict[str, np.ndarray], neural: np.ndarray, method: str,
-                      sel_idx: np.ndarray | None = None, batched: bool = False):
+                      sel_idx: np.ndarray | None = None, batched: bool = True):
     """Score every layer's RDM against the neural RDM; return scores.
 
-    The per-layer loop reuses ONE compiled RDM program and ONE compiled
-    correlation program across all 14 taps (same shapes), so dispatch
-    overhead is negligible while the XLA graphs stay small. ``batched``
-    fuses all same-width layers into a single lax.map program — faster
-    dispatch, but a much larger graph for the compiler.
+    Same-width layers (the common case: every SRP tap is k-dim) run as
+    one batched device program; mixed widths fall back to a pipelined
+    per-layer loop with a single host fetch.
     """
     method = method.lower()
     if sel_idx is not None:
         neural = neural[sel_idx]
-    neural_rdm = compute_rdm(jnp.asarray(neural))
 
     names = list(acts.keys())
     mats = [_flat(acts[n])[sel_idx] if sel_idx is not None else _flat(acts[n]) for n in names]
@@ -55,18 +85,16 @@ def select_best_layer(acts: Dict[str, np.ndarray], neural: np.ndarray, method: s
 
     scores: Dict[str, float] = {}
     if batched and len(dims) == 1 and len(names) > 1:
-        stacked = jnp.asarray(np.stack(mats))
-        rdms = jax.lax.map(compute_rdm, stacked)
-        corr_fn = _CORR[method]
-        tri_neural = upper_triangle(neural_rdm)
-        vals = jax.lax.map(lambda r: corr_fn(upper_triangle(r), tri_neural), rdms)
+        vals = _select_scores_batched(
+            jnp.asarray(np.stack(mats)), jnp.asarray(neural), method
+        )
         for name, v in zip(names, np.asarray(vals)):
             scores[name] = float(v)
     else:
         # Dispatch all layers before fetching: the device queue
-        # pipelines the 14 RDM+correlation programs, and the single
-        # device_get at the end avoids 14 host round trips (expensive
-        # through a remote-execution relay).
+        # pipelines the per-layer programs and one device_get avoids
+        # L host round trips (expensive through a remote relay).
+        neural_rdm = compute_rdm(jnp.asarray(neural))
         tri_neural = upper_triangle(neural_rdm)
         corr_fn = _CORR[method]
         pending = [corr_fn(upper_triangle(compute_rdm(jnp.asarray(m))), tri_neural)

@@ -134,6 +134,19 @@ class TestEvalRSA:
             evals.eval(_cfg(neural_dataset="nsd_synthetic", bootstrap=False))
 
 
+class TestDeviceResidentPath:
+    def test_device_acts_and_uint8_transfer_match_host_path(self, eval_env):
+        """acts_store=device + uint8_transfer must reproduce the host
+        pipeline's layer choices and scores (same math, same images)."""
+        host = evals.eval(_cfg(bootstrap=False, log_expdata=False))
+        dev = evals.eval(_cfg(bootstrap=False, log_expdata=False,
+                              acts_store="device", uint8_transfer=True))
+        for h, d in zip(host, dev):
+            assert h["layer"] == d["layer"]
+            # uint8 quantization of inputs perturbs activations slightly
+            assert abs(h["score"] - d["score"]) < 0.05
+
+
 class TestEvalEncoding:
     def test_encoding_path(self, eval_env):
         _, db_path = eval_env

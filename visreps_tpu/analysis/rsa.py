@@ -85,8 +85,11 @@ def select_best_layer(acts: Dict[str, np.ndarray], neural: np.ndarray, method: s
 
     scores: Dict[str, float] = {}
     if batched and len(dims) == 1 and len(names) > 1:
+        # jnp.stack keeps device-resident activations on device;
+        # np.stack would round-trip them through the host.
+        stacker = jnp.stack if isinstance(mats[0], jax.Array) else np.stack
         vals = _select_scores_batched(
-            jnp.asarray(np.stack(mats)), jnp.asarray(neural), method
+            jnp.asarray(stacker(mats)), jnp.asarray(neural), method
         )
         for name, v in zip(names, np.asarray(vals)):
             scores[name] = float(v)

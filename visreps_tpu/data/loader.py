@@ -118,7 +118,7 @@ class StimuliDataset:
     def native_batch(self, idxs, n_threads: int = 16):
         """C++ decode when every requested stimulus is a JPEG path."""
         spec = getattr(self.transform, "spec", None)
-        if spec is None or spec["augment"]:
+        if spec is None or spec["augment"] or not spec.get("normalize", True):
             return None
         keys, paths = [], []
         for i in idxs:
@@ -183,7 +183,7 @@ class LabeledDataset:
         import os
 
         spec = getattr(self.transform, "spec", None)
-        if spec is None:
+        if spec is None or not spec.get("normalize", True):
             return None
         if spec["augment"] and os.environ.get("VISREPS_NATIVE_AUGMENT") != "1":
             # Default training path keeps PIL (flip + rotation) for

@@ -51,8 +51,13 @@ def get_transform(
     image_size: int = 224,
     preprocess: bool = True,
     rng: random.Random | None = None,
+    normalize: bool = True,
 ) -> Callable[[Image.Image], np.ndarray]:
-    """PIL → float32 (H, W, 3) transform closure."""
+    """PIL → float32 (H, W, 3) transform closure.
+
+    ``normalize=False`` emits uint8 (4x smaller host→device transfers);
+    the extractor/trainer then normalizes on device.
+    """
     if not preprocess:
         return lambda img: np.asarray(img.convert("RGB"), np.float32) / 255.0
 
@@ -72,6 +77,8 @@ def get_transform(
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
             angle = rng.uniform(-10.0, 10.0)
             img = img.rotate(angle, resample=Image.NEAREST)
+        if not normalize:
+            return np.asarray(img, np.uint8)
         return to_array(img, mean, std)
 
     # Machine-readable description so the native C++ decode path
@@ -82,6 +89,7 @@ def get_transform(
         "mean": tuple(float(m) for m in mean),
         "std": tuple(float(s) for s in std),
         "augment": bool(data_augment),
+        "normalize": bool(normalize),
     }
     return transform
 

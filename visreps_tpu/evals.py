@@ -148,9 +148,9 @@ def eval(cfg: Config):
         style="success",
     )
 
-    transform = get_transform("imgnet")
+    transform = get_transform("imgnet", normalize=not cfg.get("uint8_transfer", False))
     dl = make_stimuli_loader(stimuli, transform, cfg.batchsize, cfg.get("num_workers", 16))
-    acts, ids = extractor.get_activations(dl)
+    acts, ids = extractor.get_activations(dl, store=cfg.get("acts_store", "host"))
     rprint("  Activations extracted once for all subjects/regions", style="success")
 
     analysis = cfg.get("analysis", "rsa").lower()

@@ -103,9 +103,17 @@ class FeatureExtractor:
         alias = dict(self.alias)
         module = state.module
         bf16_fwd = compute_dtype == "bf16"
+        from visreps_tpu.data.transforms import DS_MEAN, DS_STD
+
+        norm_mean = jnp.asarray(DS_MEAN["imgnet"])
+        norm_std = jnp.asarray(DS_STD["imgnet"])
 
         @partial(jax.jit, static_argnames=())
         def _srp_step(variables, proj, x):
+            if x.dtype == jnp.uint8:
+                # uint8 transfer path: 4x less host→device bandwidth;
+                # normalization folds into the first device op.
+                x = (x.astype(jnp.float32) / 255.0 - norm_mean) / norm_std
             if bf16_fwd:
                 variables = jax.tree_util.tree_map(
                     lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
@@ -126,6 +134,8 @@ class FeatureExtractor:
         self._srp_step = _srp_step
 
         def _single_step(variables, x, point):
+            if x.dtype == jnp.uint8:
+                x = (x.astype(jnp.float32) / 255.0 - norm_mean) / norm_std
             _, taps = module.apply(variables, x, train=False, capture=(point,))
             t = taps[point]
             return t.reshape(t.shape[0], -1).astype(jnp.float32)
@@ -147,11 +157,17 @@ class FeatureExtractor:
         return np.concatenate([x, pad]), b
 
     # ── bulk extraction with SRP ─────────────────────────────────
-    def get_activations(self, loader: Iterable, total: int | None = None):
+    def get_activations(self, loader: Iterable, total: int | None = None,
+                        store: str = "host"):
         """All-tap SRP activations over a loader of (batch, keys).
 
-        Returns ({name: np.float32 (N, k)}, ids) — same contract as the
-        reference's get_activations (models/utils.py:281-347).
+        store="host": ({name: np.float32 (N, k)}, ids) — the reference
+        contract (models/utils.py:281-347), activations accumulated on
+        the host.
+        store="device": activations stay HBM-resident as bfloat16
+        jax arrays — downstream RDM/selection math then runs without
+        re-uploading (73k × 4096 × 14 taps ≈ 8.5 GB bf16; crucial when
+        host↔device bandwidth is the bottleneck).
         """
         proj = self._proj_dict()
         dims = self.out_dims()
@@ -161,9 +177,13 @@ class FeatureExtractor:
 
         def drain(p):
             res, n = p
-            host = jax.device_get(res)
-            for name, arr in host.items():
-                chunks[name].append(arr[:n])
+            if store == "device":
+                for name, arr in res.items():
+                    chunks[name].append(arr[:n].astype(jnp.bfloat16))
+            else:
+                host = jax.device_get(res)
+                for name, arr in host.items():
+                    chunks[name].append(arr[:n])
 
         for x, keys in loader:
             ids.extend(keys)
@@ -175,8 +195,12 @@ class FeatureExtractor:
         if pending is not None:
             drain(pending)
 
-        acts = {name: np.concatenate(parts, axis=0) for name, parts in chunks.items() if parts}
-        rprint(f"  SRP activations: {len(acts)} taps x {len(ids)} stimuli", style="success")
+        cat = jnp.concatenate if store == "device" else np.concatenate
+        acts = {name: cat(parts, axis=0) for name, parts in chunks.items() if parts}
+        rprint(
+            f"  SRP activations: {len(acts)} taps x {len(ids)} stimuli ({store})",
+            style="success",
+        )
         return acts, ids
 
     # ── exact single-layer re-extraction (no SRP) ────────────────

@@ -44,7 +44,7 @@ def main():
     extract = run_stage("extract")
     rdm = run_stage("rdm")
     boot = run_stage("bootstrap")
-    select = run_stage("selection")
+    select = run_stage("selection_device")
     pallas = run_stage("rdm_pallas")
 
     extras = {}

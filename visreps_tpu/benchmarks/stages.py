@@ -150,6 +150,19 @@ def stage_selection(n_sel=1000, k=4096, n_taps=14, method="spearman"):
     return {"selection_s": time.perf_counter() - t0}
 
 
+def stage_selection_device(n_sel=1000, k=4096, n_taps=14, method="spearman"):
+    """Phase-1 selection with DEVICE-resident activations (the
+    acts_store='device' eval path — no host→device upload)."""
+    import jax
+
+    from visreps_tpu.analysis.rsa import _select_scores_batched
+
+    acts = jax.random.normal(jax.random.PRNGKey(0), (n_taps, n_sel, k))
+    neural = jax.random.normal(jax.random.PRNGKey(1), (n_sel, 512))
+    t = _timeit(lambda: _select_scores_batched(acts, neural, method), warmup=1, iters=3)
+    return {"selection_s": t}
+
+
 def stage_ridge(n=9000, d=4096, v=7604):
     """Full NSD-ventral-scale RidgeCV fit + predict."""
     import jax
@@ -176,6 +189,7 @@ STAGES = {
     "bootstrap": stage_bootstrap,
     "bootstrap_kendall": lambda: stage_bootstrap(n=500, n_bootstrap=50, method="kendall", chunk=4),
     "selection": stage_selection,
+    "selection_device": stage_selection_device,
     "ridge": stage_ridge,
 }
 

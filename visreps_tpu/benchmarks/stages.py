@@ -180,7 +180,48 @@ def stage_ridge(n=9000, d=4096, v=7604):
     return {"ridge_cv_s": t, "n": n, "d": d, "v": v}
 
 
+def stage_train(batch_size=256, iters=8):
+    """CustomCNN train-step throughput (fwd+bwd+adamw, 224 images).
+
+    Context: the reference trains the 87-model matrix at bs 32 on one
+    A100 within 8 h/model (SURVEY.md §6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visreps_tpu.core.config import Config
+    from visreps_tpu.models.zoo import init_model
+    from visreps_tpu.train.optim import setup_optimizer
+    from visreps_tpu.train.trainer import make_train_step
+
+    cfg = Config({
+        "optimizer": "adamw", "learning_rate": 5e-4, "weight_decay": 1e-3,
+        "grad_clip": 1.0, "lr_scheduler": "cosineannealinglr",
+        "num_epochs": 20, "warmup_epochs": 3,
+    })
+    state = init_model("CustomCNN", 1000, seed=0)
+    tx, _ = setup_optimizer(state.params, cfg, steps_per_epoch=100)
+    step = make_train_step(state.module, tx)
+    opt = tx.init(state.params)
+
+    images = jax.random.normal(jax.random.PRNGKey(0), (batch_size, 224, 224, 3))
+    labels = jnp.arange(batch_size) % 1000
+    key = jax.random.PRNGKey(1)
+
+    params, stats = state.params, state.batch_stats
+    # warmup/compile
+    params, stats, opt, loss, gn = step(params, stats, opt, images, labels, key)
+    _force(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, stats, opt, loss, gn = step(params, stats, opt, images, labels, key)
+    _force(loss)
+    t = (time.perf_counter() - t0) / iters
+    return {"train_images_per_sec": batch_size / t, "step_ms": t * 1000,
+            "epoch_minutes_imagenet": 1_009_124 / (batch_size / t) / 60}
+
+
 STAGES = {
+    "train": stage_train,
     "extract": stage_extract,
     "extract_bf16": lambda: stage_extract(compute_dtype="bf16"),
     "forward": stage_forward,

@@ -65,7 +65,8 @@ class ExperimentRunner:
 
     def __init__(self, mode: str, grid_path: str | Path | None = None,
                  config: str | None = None, extra_overrides: dict | None = None,
-                 jobs: int = 1, dry_run: bool = False, env_per_job=None):
+                 jobs: int = 1, dry_run: bool = False, env_per_job=None,
+                 retries: int = 0):
         self.mode = mode
         self.config = config
         self.combos = load_param_grid(grid_path) if grid_path else [{}]
@@ -73,6 +74,9 @@ class ExperimentRunner:
         self.jobs = jobs
         self.dry_run = dry_run
         self.env_per_job = env_per_job  # callable(job_idx) -> env dict update
+        # Failure handling: re-runs are idempotent (results.db INSERT OR
+        # REPLACE), so retrying a failed combo is always safe.
+        self.retries = retries
 
     def _command(self, combo: dict) -> list[str]:
         overrides = {**combo, **self.extra_overrides}
@@ -94,7 +98,14 @@ class ExperimentRunner:
         env = dict(os.environ)
         if self.env_per_job:
             env.update(self.env_per_job(idx))
-        return subprocess.run(cmd, env=env).returncode
+        rc = subprocess.run(cmd, env=env).returncode
+        for attempt in range(self.retries):
+            if rc == 0:
+                break
+            rprint(f"combo {idx} failed (rc={rc}); retry {attempt + 1}/{self.retries}",
+                   style="warning")
+            rc = subprocess.run(cmd, env=env).returncode
+        return rc
 
     def run_all(self) -> list[int]:
         if self.jobs <= 1:

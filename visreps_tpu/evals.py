@@ -150,7 +150,15 @@ def eval(cfg: Config):
 
     transform = get_transform("imgnet", normalize=not cfg.get("uint8_transfer", False))
     dl = make_stimuli_loader(stimuli, transform, cfg.batchsize, cfg.get("num_workers", 16))
-    acts, ids = extractor.get_activations(dl, store=cfg.get("acts_store", "host"))
+    store = cfg.get("acts_store", "auto")
+    if store == "auto":
+        # Keep activations HBM-resident (bf16) when they fit — selection
+        # then runs without host round trips. ~2 bytes × N × k × taps.
+        import jax as _jax
+
+        est_bytes = 2 * len(stimuli) * sum(extractor.out_dims().values())
+        store = "device" if (_jax.default_backend() != "cpu" and est_bytes < 9e9) else "host"
+    acts, ids = extractor.get_activations(dl, store=store)
     rprint("  Activations extracted once for all subjects/regions", style="success")
 
     analysis = cfg.get("analysis", "rsa").lower()

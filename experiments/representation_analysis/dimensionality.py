@@ -13,7 +13,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
-import numpy as np
 
 from visreps_tpu.analysis.compute_eigenspectra import analyze_layer_pca
 from visreps_tpu.analysis.compute_twonn_id import intrinsic_dim_layer

@@ -62,7 +62,7 @@ class TestResume:
     def test_resume_continues_from_epoch(self, tmp_path, monkeypatch, rng):
         from PIL import Image
 
-        from tests.test_trainer import N_CLASSES  # reuse constants
+        # dataset constants inline below
         from visreps_tpu.core.config import Config
         from visreps_tpu.train.trainer import Trainer
 

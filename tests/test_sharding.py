@@ -67,8 +67,6 @@ class TestDataParallelTrainStep:
         key = jax.random.PRNGKey(0)
 
         # single-device
-        import copy
-
         p1, s1, o1, loss1, gn1 = step(
             jax.tree_util.tree_map(jnp.array, state.params),
             jax.tree_util.tree_map(jnp.array, state.batch_stats),

@@ -9,7 +9,7 @@ program's outputs, so XLA dead-code-eliminates their storage.
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

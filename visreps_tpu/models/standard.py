@@ -18,7 +18,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from visreps_tpu.models.layers import Taps, adaptive_avg_pool, head_init, max_pool, xavier_uniform
+from visreps_tpu.models.layers import Taps, adaptive_avg_pool, max_pool, xavier_uniform
 
 ALEXNET_TAPS = {
     **{f"conv{i}": (f"conv{i}_pre", f"conv{i}_post") for i in range(1, 6)},

@@ -7,7 +7,7 @@ by train/checkpoint.py under the same
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import jax

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import argparse
 
-from visreps_tpu.runners.base_runner import ExperimentRunner, load_param_grid
+from visreps_tpu.runners.base_runner import ExperimentRunner
 
 
 def main(argv=None):

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from visreps_tpu.core.logging import MetricsLogger, Timer, is_interactive_environment, rprint
+from visreps_tpu.core.logging import MetricsLogger, is_interactive_environment, rprint
 from visreps_tpu.models.zoo import ModelState, load_model
 from visreps_tpu.train import checkpoint as ckpt
 from visreps_tpu.train.optim import cross_entropy_loss, lr_at_epoch, setup_optimizer

@@ -113,7 +113,7 @@ def stage_rdm_pallas(n=10000, d=4096):
     return {"rdm_pallas_f32_ms": t32 * 1000, "rdm_pallas_bf16_ms": t16 * 1000}
 
 
-def stage_bootstrap(n=1000, n_bootstrap=1000, method="spearman", chunk=16):
+def stage_bootstrap(n=1000, n_bootstrap=1000, method="spearman", chunk=250):
     import jax
     import jax.numpy as jnp
 

@@ -131,7 +131,7 @@ def bootstrap_rdm_correlation(
     subsample_frac: float = 0.9,
     seed: int = 42,
     method: str = "spearman",
-    chunk: int = 16,
+    chunk: int = 250,
     indices: np.ndarray | None = None,
     exact_ties: bool = False,
 ) -> np.ndarray:

@@ -228,6 +228,13 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose) -
     bootstrap = cfg.get("bootstrap", False)
     n_bootstrap = cfg.get("n_bootstrap", 1000)
     n_select = cfg.get("n_select", 1000)
+    if method == "kendall" and bootstrap and n_bootstrap >= 500:
+        rprint(
+            "Kendall bootstrap runs the O(n log² n) merge counter per iteration "
+            "(~10/s on one chip at n≈1000); consider compare_method=spearman "
+            "or a smaller n_bootstrap.",
+            style="warning",
+        )
 
     neural = all_data["neural"]
     shared_test_ids = all_data["shared_test_ids"]

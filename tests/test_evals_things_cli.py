@@ -64,8 +64,9 @@ class TestRunCLI:
         calls = {}
 
         class FakeTrainer:
-            def __init__(self, cfg):
+            def __init__(self, cfg, mesh=None):
                 calls["cfg"] = cfg
+                calls["mesh"] = mesh
 
             def train(self):
                 calls["trained"] = True
@@ -90,7 +91,7 @@ class TestRunCLI:
 
     def test_eval_dispatch_and_verbose(self, monkeypatch, tmp_path):
         seen = {}
-        monkeypatch.setattr(evals, "eval", lambda cfg: seen.update(cfg=cfg))
+        monkeypatch.setattr(evals, "eval", lambda cfg, mesh=None: seen.update(cfg=cfg, mesh=mesh))
         cfg_file = tmp_path / "e.json"
         cfg_file.write_text(json.dumps({
             "mode": "eval", "seed": 1, "neural_dataset": "nsd",

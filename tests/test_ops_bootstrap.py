@@ -100,3 +100,73 @@ class TestBootstrapScores:
         s1 = bootstrap_rdm_correlation(r1, r2, n_bootstrap=10, chunk=4)
         s2 = bootstrap_rdm_correlation(r1, r2, n_bootstrap=10, chunk=10)
         np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+class TestKendallFastKernel:
+    """The masked-inversion Kendall kernel (ops/kendall.py) must match
+    the general gathered-triangle path (itself scipy-parity-tested
+    above) EXACTLY, including tie handling."""
+
+    def _general(self, r1, r2, idx):
+        from visreps_tpu.ops.bootstrap import _bootstrap_scores
+        import jax.numpy as jnp
+
+        return np.asarray(_bootstrap_scores(
+            jnp.asarray(r1), jnp.asarray(r2), jnp.asarray(idx), "kendall", 4
+        ))
+
+    def _fast(self, r1, r2, idx):
+        from visreps_tpu.ops.kendall import bootstrap_kendall_fast
+        import jax.numpy as jnp
+
+        return np.asarray(bootstrap_kendall_fast(
+            jnp.asarray(r1, jnp.float32), jnp.asarray(r2, jnp.float32),
+            jnp.asarray(idx), 4
+        ))
+
+    def test_matches_general_path(self, rdm_pair):
+        r1, r2 = rdm_pair
+        idx = bootstrap_indices(r1.shape[0], 8, seed=42)
+        np.testing.assert_allclose(
+            self._fast(r1, r2, idx), self._general(r1, r2, idx), atol=1e-5
+        )
+
+    def test_heavy_ties(self, rng):
+        """Quantized RDMs force tie groups in both va and vb (and joint
+        ties); tau-a's tie corrections must match exactly."""
+        a = np.round(np.asarray(compute_rdm(rng.randn(30, 8).astype(np.float32))), 1)
+        b = np.round(np.asarray(compute_rdm(rng.randn(30, 8).astype(np.float32))), 1)
+        idx = bootstrap_indices(30, 6, seed=1)
+        np.testing.assert_allclose(
+            self._fast(a, b, idx), self._general(a, b, idx), atol=1e-5
+        )
+
+    def test_non_pow2_triangle(self, rng):
+        """n=17 → M=136 pairs (pads to 256) exercises padding slots."""
+        a = np.asarray(compute_rdm(rng.randn(17, 12).astype(np.float32)))
+        b = np.asarray(compute_rdm(rng.randn(17, 12).astype(np.float32)))
+        idx = bootstrap_indices(17, 5, seed=3)
+        np.testing.assert_allclose(
+            self._fast(a, b, idx), self._general(a, b, idx), atol=1e-5
+        )
+
+    def test_dispatcher_routes_kendall(self, rdm_pair):
+        """bootstrap_rdm_correlation(method='kendall') must use the fast
+        kernel and still match the general path."""
+        r1, r2 = rdm_pair
+        idx = bootstrap_indices(r1.shape[0], 6, seed=42)
+        via_dispatch = bootstrap_rdm_correlation(
+            r1, r2, n_bootstrap=6, seed=42, method="kendall"
+        )
+        np.testing.assert_allclose(via_dispatch, self._general(r1, r2, idx), atol=1e-5)
+
+    def test_sharded_matches(self, rdm_pair):
+        from visreps_tpu.parallel.mesh import make_mesh
+
+        r1, r2 = rdm_pair
+        mesh = make_mesh(data=8, model=1)
+        ref = bootstrap_rdm_correlation(r1, r2, n_bootstrap=16, seed=42, method="kendall")
+        got = bootstrap_rdm_correlation(
+            r1, r2, n_bootstrap=16, seed=42, method="kendall", mesh=mesh
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -116,6 +116,105 @@ class TestTensorParallel:
         np.testing.assert_allclose(np.asarray(logits_ref), np.asarray(logits_tp), atol=1e-4)
 
 
+class TestDefaultMesh:
+    def test_auto_builds_over_all_devices(self):
+        from visreps_tpu.parallel.auto import default_mesh
+
+        mesh = default_mesh()
+        assert mesh is not None
+        assert mesh.shape == {"data": 8, "model": 1}
+
+    def test_disabled_by_config(self):
+        from visreps_tpu.core.config import Config
+        from visreps_tpu.parallel.auto import default_mesh
+
+        assert default_mesh(Config({"use_mesh": False})) is None
+
+    def test_model_axis_from_config(self):
+        from visreps_tpu.core.config import Config
+        from visreps_tpu.parallel.auto import default_mesh
+
+        mesh = default_mesh(Config({"mesh_model_axis": 2}))
+        assert mesh.shape == {"data": 4, "model": 2}
+
+    def test_bad_model_axis_raises(self):
+        from visreps_tpu.core.config import Config
+        from visreps_tpu.parallel.auto import default_mesh
+
+        with pytest.raises(ValueError):
+            default_mesh(Config({"mesh_model_axis": 3}))
+
+
+class TestShardedBootstrap:
+    @pytest.mark.parametrize("method", ["spearman", "pearson"])
+    def test_matches_single_device(self, rng, mesh8, method):
+        from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation
+        from visreps_tpu.ops.rdm import compute_rdm
+
+        a = np.asarray(compute_rdm(rng.randn(40, 32).astype(np.float32)))
+        b = np.asarray(compute_rdm(rng.randn(40, 16).astype(np.float32)))
+        ref = bootstrap_rdm_correlation(a, b, n_bootstrap=24, seed=42, method=method)
+        got = bootstrap_rdm_correlation(a, b, n_bootstrap=24, seed=42, method=method, mesh=mesh8)
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_nonmultiple_iteration_count(self, rng, mesh8):
+        """n_bootstrap not divisible by n_devices pads then slices."""
+        from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation
+        from visreps_tpu.ops.rdm import compute_rdm
+
+        a = np.asarray(compute_rdm(rng.randn(30, 16).astype(np.float32)))
+        b = np.asarray(compute_rdm(rng.randn(30, 8).astype(np.float32)))
+        ref = bootstrap_rdm_correlation(a, b, n_bootstrap=13, seed=42)
+        got = bootstrap_rdm_correlation(a, b, n_bootstrap=13, seed=42, mesh=mesh8)
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+class TestMeshExtractor:
+    def _extractor(self, mesh=None, batch_size=8):
+        from visreps_tpu.models.extractor import FeatureExtractor
+        from visreps_tpu.models.zoo import init_model
+
+        state = init_model("TinyCustomCNN", 8, seed=0)
+        return FeatureExtractor(
+            state, ["conv4", "conv5", "fc1"], srp_k=64,
+            batch_size=batch_size, image_size=64, mesh=mesh,
+        )
+
+    def test_batch_sharding_introspection(self, mesh8):
+        from jax.sharding import PartitionSpec as P
+
+        ex = self._extractor(mesh8)
+        batch = np.zeros((8, 64, 64, 3), np.float32)
+        arr = ex._to_device(batch)
+        assert arr.sharding.spec == P("data")
+        assert len(arr.sharding.device_set) == 8
+
+    def test_batch_size_rounded_to_mesh(self, mesh8):
+        ex = self._extractor(mesh8, batch_size=12)
+        assert ex.batch_size == 16
+
+    def test_activations_match_single_device(self, rng, mesh8):
+        ex1 = self._extractor(None)
+        ex8 = self._extractor(mesh8)
+        batches = [
+            ((rng.rand(8, 64, 64, 3).astype(np.float32)), [str(8 * b + i) for i in range(8)])
+            for b in range(3)
+        ]
+        acts1, ids1 = ex1.get_activations(iter(batches))
+        acts8, ids8 = ex8.get_activations(iter(batches))
+        assert ids1 == ids8
+        for name in acts1:
+            np.testing.assert_allclose(acts8[name], acts1[name], atol=2e-2)
+
+    def test_single_layer_matches(self, rng, mesh8):
+        ex1 = self._extractor(None)
+        ex8 = self._extractor(mesh8)
+        batches = [(rng.rand(8, 64, 64, 3).astype(np.float32), [str(i) for i in range(8)])]
+        a1, _ = ex1.extract_single_layer(iter(batches), "fc1_post")
+        a8, _ = ex8.extract_single_layer(iter(batches), "fc1_post")
+        np.testing.assert_allclose(a8, a1, atol=1e-4)
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as g

@@ -86,7 +86,8 @@ def prepare_concept_alignment(cfg, acts_raw, neural_data_raw, keys) -> Alignment
 
 
 def compute_traintest_alignment(cfg, train: AlignmentData, test: AlignmentData,
-                                verbose: bool = False, re_extract_fn=None) -> List[dict]:
+                                verbose: bool = False, re_extract_fn=None,
+                                mesh=None) -> List[dict]:
     """Dispatch to RSA or encoding score. Reference: alignment.py:74-114."""
     from visreps_tpu.analysis.encoding import compute_encoding_score
     from visreps_tpu.analysis.rsa import compute_rsa
@@ -106,6 +107,7 @@ def compute_traintest_alignment(cfg, train: AlignmentData, test: AlignmentData,
             cfg, train, test,
             n_select=cfg.get("n_select", None), bootstrap=bootstrap,
             n_bootstrap=n_bootstrap, verbose=verbose, re_extract_fn=re_extract_fn,
+            mesh=mesh,
         )
     if analysis == "encoding_score":
         pca_k = cfg.get("pca_k", 1) if cfg.get("reconstruct_from_pcs") else None

@@ -117,6 +117,7 @@ def compute_rsa(
     seed: int = 42,
     verbose: bool = False,
     re_extract_fn=None,
+    mesh=None,
 ) -> List[Dict]:
     """Select best layer on train, evaluate on test (+ bootstrap CIs).
 
@@ -172,7 +173,7 @@ def compute_rsa(
     if bootstrap:
         boot = bootstrap_rdm_correlation(
             test_model_rdm, test_neural_rdm,
-            n_bootstrap=n_bootstrap, seed=seed, method=method,
+            n_bootstrap=n_bootstrap, seed=seed, method=method, mesh=mesh,
         )
         ci_low, ci_high = percentile_ci(boot)
         bootstrap_scores_list = boot.tolist()

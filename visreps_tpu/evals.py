@@ -44,6 +44,8 @@ from visreps_tpu.models.zoo import TORCHVISION_RETURN_NODES, load_model
 from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation, percentile_ci
 from visreps_tpu.ops.pca import reconstruct_from_pcs
 from visreps_tpu.ops.rdm import compute_rdm, compute_rdm_correlation
+from visreps_tpu.parallel.auto import default_mesh
+from visreps_tpu.parallel.shard import rdm_sharded
 
 import jax.numpy as jnp
 
@@ -91,10 +93,27 @@ def _neural_tensor(test_neural_dict: dict, ids) -> np.ndarray:
     return arr.squeeze() if arr.ndim > 2 else arr
 
 
+def _rdm(x, mesh, cfg) -> jnp.ndarray:
+    """compute_rdm, routed through the stimulus-axis-sharded kernel
+    when the matrix is big enough to amortize the all-gather."""
+    x = jnp.asarray(x)
+    if mesh is not None and x.shape[0] >= cfg.get("rdm_shard_threshold", 4096):
+        return rdm_sharded(x, mesh)
+    return compute_rdm(x)
+
+
 # ───────────────────────── eval ──────────────────────────
-def eval(cfg: Config):
-    """One forward pass, per-(subject, region) results. Reference: evals.py:74-218."""
+def eval(cfg: Config, mesh=None):
+    """One forward pass, per-(subject, region) results. Reference: evals.py:74-218.
+
+    When >1 device is visible a ('data', 'model') mesh is built by
+    default: extraction batches shard over 'data', large RDMs route
+    through the stimulus-axis-sharded kernel, and bootstrap iterations
+    spread over chips (disable with use_mesh=false).
+    """
     verbose = cfg.get("verbose", False)
+    if mesh is None:
+        mesh = default_mesh(cfg)
 
     if cfg.load_model_from == "checkpoint":
         cfg = _load_cfg(cfg)
@@ -106,7 +125,7 @@ def eval(cfg: Config):
     dataset = cfg.neural_dataset.lower()
 
     if dataset == "things-behavior":
-        return _eval_things(cfg, verbose)
+        return _eval_things(cfg, verbose, mesh)
 
     if dataset == "nsd_synthetic":
         subjects = _listify(cfg.subject_idx)
@@ -118,7 +137,7 @@ def eval(cfg: Config):
             f"seed {cfg.seed}\n",
             style="info",
         )
-        return _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose)
+        return _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh)
 
     # ── NSD / TVSD unified multi-subject path ──
     subjects = _listify(cfg.subject_idx)
@@ -132,7 +151,7 @@ def eval(cfg: Config):
     )
 
     state = load_model(cfg, verbose=verbose)
-    extractor = configure_feature_extractor(cfg, state, verbose=verbose)
+    extractor = configure_feature_extractor(cfg, state, verbose=verbose, mesh=mesh)
 
     if dataset == "nsd":
         all_data = load_all_nsd_data(cfg, subjects=subjects, regions=regions)
@@ -163,18 +182,18 @@ def eval(cfg: Config):
 
     analysis = cfg.get("analysis", "rsa").lower()
     if analysis == "rsa":
-        return _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose)
+        return _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose, mesh)
     if analysis == "encoding_score":
-        return _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose)
+        return _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose, mesh)
     raise ValueError(f"Unknown analysis method: {analysis}")
 
 
 # ──────────────────── THINGS branch ──────────────────────
-def _eval_things(cfg, verbose):
+def _eval_things(cfg, verbose, mesh=None):
     """Concept-level 20/80 train/test RSA. Reference: evals.py:94-155."""
     rprint(f"\n  {_build_header(cfg)}\n", style="info")
     state = load_model(cfg, verbose=verbose)
-    extractor = configure_feature_extractor(cfg, state, verbose=verbose)
+    extractor = configure_feature_extractor(cfg, state, verbose=verbose, mesh=mesh)
 
     neural_data, dl = get_neural_loader(cfg)
     rprint("  THINGS data loaded", style="success")
@@ -214,7 +233,7 @@ def _eval_things(cfg, verbose):
         return concept_average_exact(raw_acts, raw_ids, evaluation), evaluation.stimulus_ids
 
     scores = compute_traintest_alignment(
-        cfg, selection, evaluation, verbose=verbose, re_extract_fn=re_extract_fn
+        cfg, selection, evaluation, verbose=verbose, re_extract_fn=re_extract_fn, mesh=mesh
     )
     if cfg.get("log_expdata"):
         save_results(scores, cfg)
@@ -222,19 +241,13 @@ def _eval_things(cfg, verbose):
 
 
 # ──────────────────── RSA branch ─────────────────────────
-def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose) -> List[Dict]:
+def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
+              mesh=None) -> List[Dict]:
     """Two-phase RSA. Reference: evals.py:222-400."""
     method = cfg.get("compare_method", "spearman").lower()
     bootstrap = cfg.get("bootstrap", False)
     n_bootstrap = cfg.get("n_bootstrap", 1000)
     n_select = cfg.get("n_select", 1000)
-    if method == "kendall" and bootstrap and n_bootstrap >= 500:
-        rprint(
-            "Kendall bootstrap runs the O(n log² n) merge counter per iteration "
-            "(~10/s on one chip at n≈1000); consider compare_method=spearman "
-            "or a smaller n_bootstrap.",
-            style="warning",
-        )
 
     neural = all_data["neural"]
     shared_test_ids = all_data["shared_test_ids"]
@@ -291,7 +304,7 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose) -
         if cfg.get("reconstruct_from_pcs"):
             exact_acts = np.asarray(reconstruct_from_pcs({layer: exact_acts}, pca_k)[layer])
             rprint(f"    Reconstructed from {pca_k} PCs", style="info")
-        model_rdms[layer] = compute_rdm(jnp.asarray(exact_acts))
+        model_rdms[layer] = _rdm(exact_acts, mesh, cfg)
         del exact_acts
 
     # ── Per-(region, subject) scoring + save ───────────────────
@@ -301,7 +314,7 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose) -
         for subj in subjects:
             best_layer = per_region_layers[region][subj]
             neural_tensor = _neural_tensor(neural[region][subj]["test"], shared_test_ids)
-            neural_rdm = compute_rdm(jnp.asarray(neural_tensor))
+            neural_rdm = _rdm(neural_tensor, mesh, cfg)
             point = compute_rdm_correlation(model_rdms[best_layer], neural_rdm, correlation=method)
 
             ci_low = ci_high = None
@@ -309,7 +322,7 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose) -
             if bootstrap:
                 boot = bootstrap_rdm_correlation(
                     model_rdms[best_layer], neural_rdm,
-                    n_bootstrap=n_bootstrap, seed=42, method=method,
+                    n_bootstrap=n_bootstrap, seed=42, method=method, mesh=mesh,
                 )
                 ci_low, ci_high = percentile_ci(boot)
                 bootstrap_scores_list = boot.tolist()
@@ -374,7 +387,7 @@ def _lookup_nsd_best_layers(cfg, subjects, regions) -> Dict:
     return layers
 
 
-def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose) -> List[Dict]:
+def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh=None) -> List[Dict]:
     """RSA on 220 synthetic stimuli with NSD-inherited layers.
 
     Reference: evals.py:442-548.
@@ -389,7 +402,7 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose) -> List[Dict]:
     rprint(f"  Loaded {len(test_ids)} synthetic test stimuli", style="success")
 
     state = load_model(cfg, verbose=verbose)
-    extractor = configure_feature_extractor(cfg, state, verbose=verbose)
+    extractor = configure_feature_extractor(cfg, state, verbose=verbose, mesh=mesh)
     transform = get_transform("imgnet")
     dl_test = make_stimuli_loader(
         test_data["stimuli"], transform, cfg.batchsize, cfg.get("num_workers", 16)
@@ -403,7 +416,7 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose) -> List[Dict]:
         exact_acts, _ = extractor.extract_single_layer(dl_test, layer, test_ids)
         if cfg.get("reconstruct_from_pcs"):
             exact_acts = np.asarray(reconstruct_from_pcs({layer: exact_acts}, pca_k)[layer])
-        model_rdms[layer] = compute_rdm(jnp.asarray(exact_acts))
+        model_rdms[layer] = _rdm(exact_acts, mesh, cfg)
         del exact_acts
 
     all_results = []
@@ -412,7 +425,7 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose) -> List[Dict]:
         for subj in subjects:
             best_layer = best_layers[region][subj]
             neural_tensor = _neural_tensor(test_data["neural"][region][subj], test_ids)
-            neural_rdm = compute_rdm(jnp.asarray(neural_tensor))
+            neural_rdm = _rdm(neural_tensor, mesh, cfg)
             point = compute_rdm_correlation(model_rdms[best_layer], neural_rdm, correlation=method)
 
             ci_low = ci_high = None
@@ -420,7 +433,7 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose) -> List[Dict]:
             if bootstrap:
                 boot = bootstrap_rdm_correlation(
                     model_rdms[best_layer], neural_rdm,
-                    n_bootstrap=n_bootstrap, seed=42, method=method,
+                    n_bootstrap=n_bootstrap, seed=42, method=method, mesh=mesh,
                 )
                 ci_low, ci_high = percentile_ci(boot)
                 bootstrap_scores_list = boot.tolist()
@@ -450,7 +463,8 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose) -> List[Dict]:
 
 
 # ──────────────── encoding branch ────────────────────────
-def _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose) -> List[Dict]:
+def _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose,
+                   mesh=None) -> List[Dict]:
     """Per-(region, subject) encoding score with SRP acts throughout.
 
     Reference: evals.py:552-590.
@@ -461,7 +475,7 @@ def _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose) -> List
         rprint(f"\n  -- Region: {region} --", style="info")
         for subj in subjects:
             train_data, test_data = prepare_traintest_alignment(cfg, acts, neural[region][subj], ids)
-            scores = compute_traintest_alignment(cfg, train_data, test_data, verbose=verbose)
+            scores = compute_traintest_alignment(cfg, train_data, test_data, verbose=verbose, mesh=mesh)
             del train_data, test_data
             if cfg.get("log_expdata"):
                 save_cfg = cfg.merge({"subject_idx": subj, "region": region})

@@ -71,8 +71,23 @@ class FeatureExtractor:
         batch_size: int = 128,
         image_size: int | None = None,
         compute_dtype: str | None = None,
+        mesh=None,
     ):
         self.state = state
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ndev = mesh.shape["data"]
+            # Every batch is padded to batch_size, so one rounding at
+            # init keeps the batch axis divisible across the mesh.
+            batch_size = -(-batch_size // ndev) * ndev
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self._replicated = NamedSharding(mesh, P())
+            state.params = jax.device_put(state.params, self._replicated)
+            if state.batch_stats is not None:
+                state.batch_stats = jax.device_put(state.batch_stats, self._replicated)
         self.batch_size = batch_size
         self.image_size = image_size or state.input_size
         # 'bf16' runs the forward in bfloat16 (≈3× MXU throughput for
@@ -144,7 +159,10 @@ class FeatureExtractor:
 
     # ── projection matrices (built once, HBM-resident) ──────────
     def _proj_dict(self):
-        return {name: self.srp.matrix(d) for name, d in self.tap_dims.items()}
+        proj = {name: self.srp.matrix(d) for name, d in self.tap_dims.items()}
+        if self._batch_sharding is not None:
+            proj = jax.device_put(proj, self._replicated)
+        return proj
 
     def out_dims(self) -> dict[str, int]:
         return {name: self.srp.out_dim(d) for name, d in self.tap_dims.items()}
@@ -155,6 +173,14 @@ class FeatureExtractor:
             return x, b
         pad = np.zeros((self.batch_size - b, *x.shape[1:]), x.dtype)
         return np.concatenate([x, pad]), b
+
+    def _to_device(self, x: np.ndarray):
+        """Upload one batch, sharded over the mesh's 'data' axis when
+        present — GSPMD then propagates the batch sharding through the
+        forward and SRP matmuls (collectives ride ICI)."""
+        if self._batch_sharding is not None:
+            return jax.device_put(jnp.asarray(x), self._batch_sharding)
+        return jnp.asarray(x)
 
     # ── bulk extraction with SRP ─────────────────────────────────
     def get_activations(self, loader: Iterable, total: int | None = None,
@@ -188,7 +214,7 @@ class FeatureExtractor:
         for x, keys in loader:
             ids.extend(keys)
             xp, n = self._pad(np.asarray(x))
-            cur = (self._srp_step(self.state.variables, proj, jnp.asarray(xp)), n)
+            cur = (self._srp_step(self.state.variables, proj, self._to_device(xp)), n)
             if pending is not None:
                 drain(pending)
             pending = cur
@@ -224,7 +250,7 @@ class FeatureExtractor:
         for x, keys in loader:
             all_ids.extend(keys)
             xp, n = self._pad(np.asarray(x))
-            cur = (self._single_step(self.state.variables, jnp.asarray(xp), point), n)
+            cur = (self._single_step(self.state.variables, self._to_device(xp), point), n)
             if pending is not None:
                 parts.append(jax.device_get(pending[0])[: pending[1]])
             pending = cur
@@ -241,7 +267,9 @@ class FeatureExtractor:
         return acts, all_ids
 
 
-def configure_feature_extractor(cfg, state: ModelState, verbose: bool = False) -> FeatureExtractor:
+def configure_feature_extractor(
+    cfg, state: ModelState, verbose: bool = False, mesh=None
+) -> FeatureExtractor:
     """Build a FeatureExtractor from an eval config.
 
     Reference: visreps/models/utils.py:262-278.
@@ -257,6 +285,7 @@ def configure_feature_extractor(cfg, state: ModelState, verbose: bool = False) -
         srp_seed=cfg.get("srp_seed", 0),
         batch_size=cfg.get("batchsize", 128),
         image_size=cfg.get("image_size", 224),
+        mesh=mesh,
     )
     n_points = len(extractor.points)
     suffix = f" ({len(return_nodes)} layers x pre/post)" if cfg.get("extract_pre_and_post", True) else ""

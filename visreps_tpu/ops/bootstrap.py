@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from visreps_tpu.ops.kendall import _kendall_fast_body, bootstrap_kendall_fast
 from visreps_tpu.ops.stats import kendall_tau_a, pearson_corr, spearman_corr
 
 _CORR = {
@@ -24,6 +25,10 @@ _CORR = {
     "spearman": spearman_corr,
     "kendall": kendall_tau_a,
 }
+
+# Masked-inversion kendall temporaries are ~P floats per in-flight
+# iteration; bound the vmap width harder than spearman's.
+_KENDALL_CHUNK = 64
 
 
 def bootstrap_indices(
@@ -45,8 +50,7 @@ def bootstrap_indices(
     ).astype(np.int32)
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def _bootstrap_spearman_fast(rdm_a, rdm_b, idx, chunk: int):
+def _spearman_fast_body(rdm_a, rdm_b, idx, chunk: int):
     """Sort-free Spearman bootstrap.
 
     The sub-RDM's upper triangle is a SUBSET of the full triangle, so:
@@ -101,8 +105,10 @@ def _bootstrap_spearman_fast(rdm_a, rdm_b, idx, chunk: int):
     return scores.reshape(-1)[:n_boot]
 
 
-@partial(jax.jit, static_argnames=("method", "chunk"))
-def _bootstrap_scores(rdm_a, rdm_b, idx, method: str, chunk: int):
+_bootstrap_spearman_fast = jax.jit(_spearman_fast_body, static_argnames=("chunk",))
+
+
+def _scores_body(rdm_a, rdm_b, idx, method: str, chunk: int):
     m = idx.shape[1]
     iu, ju = jnp.triu_indices(m, k=1)
 
@@ -124,6 +130,45 @@ def _bootstrap_scores(rdm_a, rdm_b, idx, method: str, chunk: int):
     return scores.reshape(-1)[:n_boot]
 
 
+_bootstrap_scores = jax.jit(_scores_body, static_argnames=("method", "chunk"))
+
+
+def _bootstrap_sharded(rdm_a, rdm_b, idx, method: str, chunk: int, mesh,
+                       exact_ties: bool):
+    """Bootstrap iterations sharded over the mesh's 'data' axis.
+
+    Each device runs the single-chip kernel body on its slice of the
+    iteration axis with the RDMs replicated — no cross-device traffic
+    beyond the initial broadcast (the TPU-native replacement for the
+    reference's serial 1000-iteration scipy loop, visreps/evals.py:
+    355-373, spread over chips).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ndev = mesh.shape["data"]
+    n_boot = idx.shape[0]
+    pad = (-n_boot) % ndev
+    idx_p = np.concatenate([idx, idx[:pad]]) if pad else idx
+    local = idx_p.shape[0] // ndev
+    local_chunk = max(1, min(chunk, local))
+
+    if method == "spearman" and not exact_ties:
+        body = partial(_spearman_fast_body, chunk=local_chunk)
+    elif method == "kendall":
+        body = partial(_kendall_fast_body, chunk=min(local_chunk, _KENDALL_CHUNK))
+    else:
+        body = partial(_scores_body, method=method, chunk=local_chunk)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P("data", None)),
+        out_specs=P("data"),
+    )
+    scores = jax.jit(fn)(rdm_a, rdm_b, jnp.asarray(idx_p))
+    return scores[:n_boot]
+
+
 def bootstrap_rdm_correlation(
     rdm_model,
     rdm_neural,
@@ -134,6 +179,7 @@ def bootstrap_rdm_correlation(
     chunk: int = 250,
     indices: np.ndarray | None = None,
     exact_ties: bool = False,
+    mesh=None,
 ) -> np.ndarray:
     """Bootstrap distribution of RDM correlations (float64 numpy out).
 
@@ -149,8 +195,16 @@ def bootstrap_rdm_correlation(
     if indices is None:
         indices = bootstrap_indices(rdm_model.shape[0], n_bootstrap, subsample_frac, seed)
     method = method.lower()
-    if method == "spearman" and not exact_ties:
+    if mesh is not None and mesh.shape.get("data", 1) > 1 and len(indices) >= mesh.shape["data"]:
+        scores = _bootstrap_sharded(
+            rdm_model, rdm_neural, np.asarray(indices), method, chunk, mesh, exact_ties
+        )
+    elif method == "spearman" and not exact_ties:
         scores = _bootstrap_spearman_fast(rdm_model, rdm_neural, jnp.asarray(indices), chunk)
+    elif method == "kendall":
+        scores = bootstrap_kendall_fast(
+            rdm_model, rdm_neural, jnp.asarray(indices), min(chunk, _KENDALL_CHUNK)
+        )
     else:
         scores = _bootstrap_scores(rdm_model, rdm_neural, jnp.asarray(indices), method, chunk)
     return np.asarray(scores, dtype=np.float64)

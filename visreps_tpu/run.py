@@ -28,14 +28,20 @@ def main(argv=None):
     cfg = load_config(args.config or f"configs/{args.mode}/base.json", overrides)
     cfg = validate_config(cfg)
 
+    # Multi-chip by default: one ('data', 'model') mesh over every
+    # visible device (None single-chip; --override use_mesh=false).
+    from visreps_tpu.parallel.auto import default_mesh
+
+    mesh = default_mesh(cfg)
+
     if cfg.mode == "train":
         from visreps_tpu.train.trainer import Trainer
 
-        Trainer(cfg).train()
+        Trainer(cfg, mesh=mesh).train()
     else:
         from visreps_tpu import evals
 
-        evals.eval(cfg)
+        evals.eval(cfg, mesh=mesh)
 
 
 if __name__ == "__main__":

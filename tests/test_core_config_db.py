@@ -197,3 +197,19 @@ class TestDB:
         save_results(rows, self._cfg(), db_path=db)
         conn = sqlite3.connect(db)
         assert conn.execute("SELECT COUNT(*) FROM results").fetchone()[0] == 0
+
+
+class TestDotlistListSyntax:
+    def test_unquoted_bracketed_list(self):
+        """OmegaConf-style list overrides: region=[early visual stream,...]
+        (the reference CLI accepts these via OmegaConf.from_dotlist)."""
+        from visreps_tpu.core.config import from_dotlist
+
+        d = from_dotlist(["region=[early visual stream,ventral visual stream]"])
+        assert d["region"] == ["early visual stream", "ventral visual stream"]
+        d = from_dotlist(["subject_idx=[0,1,2]"])
+        assert d["subject_idx"] == [0, 1, 2]
+        d = from_dotlist(["xs=[]"])
+        assert d["xs"] == []
+        d = from_dotlist(['js=["a","b"]'])  # valid JSON still wins
+        assert d["js"] == ["a", "b"]

@@ -111,3 +111,76 @@ class TestEncodingScore:
             make(acts4d[:40], neural[:40]), make(acts4d[40:], neural[40:]), bootstrap=False
         )[0]
         assert res["score"] > 0.95
+
+
+class TestSubjectBatchedEncoding:
+    """compute_encoding_scores_subject (one subject, all regions in one
+    batched pass) must reproduce compute_encoding_score run per
+    (region, subject) — VERDICT item 4's correctness contract."""
+
+    def _subject_data(self, rng, n_train=120, n_test=40, d=30):
+        w1 = rng.randn(d, 8).astype(np.float32)
+        w2 = rng.randn(d, 5).astype(np.float32)
+        sig_tr = rng.randn(n_train, d).astype(np.float32)
+        sig_te = rng.randn(n_test, d).astype(np.float32)
+        noise_tr = rng.randn(n_train, d).astype(np.float32)
+        noise_te = rng.randn(n_test, d).astype(np.float32)
+        acts_tr = {"noise_layer": noise_tr, "signal_layer": sig_tr}
+        acts_te = {"noise_layer": noise_te, "signal_layer": sig_te}
+        y_tr = {"regA": sig_tr @ w1 + 0.2 * rng.randn(n_train, 8).astype(np.float32),
+                "regB": sig_tr @ w2 + 0.2 * rng.randn(n_train, 5).astype(np.float32)}
+        y_te = {"regA": sig_te @ w1 + 0.2 * rng.randn(n_test, 8).astype(np.float32),
+                "regB": sig_te @ w2 + 0.2 * rng.randn(n_test, 5).astype(np.float32)}
+        return acts_tr, acts_te, y_tr, y_te
+
+    def test_matches_per_pair_path(self, rng):
+        from visreps_tpu.analysis.encoding import compute_encoding_scores_subject
+
+        acts_tr, acts_te, y_tr, y_te = self._subject_data(rng)
+        batched = compute_encoding_scores_subject(
+            acts_tr, acts_te, y_tr, y_te, bootstrap=True, n_bootstrap=8
+        )
+        for region in ("regA", "regB"):
+            train = AlignmentData(acts_tr, y_tr[region])
+            test = AlignmentData(acts_te, y_te[region])
+            ref = compute_encoding_score(train, test, bootstrap=True, n_bootstrap=8)[0]
+            got = batched[region][0]
+            assert got["layer"] == ref["layer"] == "signal_layer"
+            np.testing.assert_allclose(got["score"], ref["score"], atol=2e-4)
+            np.testing.assert_allclose(got["ci_low"], ref["ci_low"], atol=2e-4)
+            np.testing.assert_allclose(got["ci_high"], ref["ci_high"], atol=2e-4)
+            np.testing.assert_allclose(
+                got["bootstrap_scores"], ref["bootstrap_scores"], atol=2e-4
+            )
+            gsel = {d_["layer"]: d_["score"] for d_ in got["layer_selection_scores"]}
+            rsel = {d_["layer"]: d_["score"] for d_ in ref["layer_selection_scores"]}
+            for l in gsel:
+                np.testing.assert_allclose(gsel[l], rsel[l], atol=2e-3)
+
+    def test_mixed_layer_widths(self, rng):
+        """Layers of different widths batch per width group."""
+        from visreps_tpu.analysis.encoding import compute_encoding_scores_subject
+
+        acts_tr, acts_te, y_tr, y_te = self._subject_data(rng)
+        acts_tr["wide_layer"] = rng.randn(120, 50).astype(np.float32)
+        acts_te["wide_layer"] = rng.randn(40, 50).astype(np.float32)
+        res = compute_encoding_scores_subject(
+            acts_tr, acts_te, y_tr, y_te, bootstrap=False
+        )
+        for region in ("regA", "regB"):
+            assert res[region][0]["layer"] == "signal_layer"
+            assert len(res[region][0]["layer_selection_scores"]) == 3
+
+    def test_pca_reconstruction(self, rng):
+        from visreps_tpu.analysis.encoding import compute_encoding_scores_subject
+
+        acts_tr, acts_te, y_tr, y_te = self._subject_data(rng)
+        batched = compute_encoding_scores_subject(
+            acts_tr, acts_te, y_tr, y_te, bootstrap=False, reconstruct_pca_k=5
+        )
+        train = AlignmentData(acts_tr, y_tr["regA"])
+        test = AlignmentData(acts_te, y_te["regA"])
+        ref = compute_encoding_score(
+            train, test, bootstrap=False, reconstruct_pca_k=5
+        )[0]
+        np.testing.assert_allclose(batched["regA"][0]["score"], ref["score"], atol=2e-4)

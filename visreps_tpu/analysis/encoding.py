@@ -24,7 +24,12 @@ import numpy as np
 
 from visreps_tpu.core.logging import rprint
 from visreps_tpu.ops.bootstrap import percentile_ci
-from visreps_tpu.ops.ridge import correlation_score, default_alphas, ridge_cv
+from visreps_tpu.ops.ridge import (
+    correlation_score,
+    default_alphas,
+    ridge_cv,
+    ridge_cv_val_scores_batched,
+)
 from visreps_tpu.ops.znorm import znorm, znorm_fit
 
 logger = logging.getLogger(__name__)
@@ -183,3 +188,167 @@ def compute_encoding_score(
     if bootstrap_scores_list is not None:
         result["bootstrap_scores"] = bootstrap_scores_list
     return [result]
+
+
+def compute_encoding_scores_subject(
+    acts_train: Dict[str, np.ndarray],
+    acts_test: Dict[str, np.ndarray],
+    y_train: Dict[str, np.ndarray],
+    y_test: Dict[str, np.ndarray],
+    bootstrap: bool = True,
+    n_bootstrap: int = 1000,
+    seed: int = 42,
+    verbose: bool = False,
+    reconstruct_pca_k: int | None = None,
+    cv_precision: str = "highest",
+) -> Dict[str, List[Dict]]:
+    """All-region encoding scores for ONE subject in one batched pass.
+
+    The reference fits 14 RidgeCVs per (region, subject) serially
+    (visreps/analysis/encoding_score.py:129-162 × evals.py:552-590 —
+    48 pairs ≈ 1 h at NSD scale). Within a subject the design matrix X
+    is IDENTICAL across regions (same stimuli, different voxels) and
+    all SRP layers share (n, 4096) shapes, so:
+
+      * regions' voxel blocks are concatenated into one Y — per-voxel
+        alpha CV and Pearson scoring are column-independent, so the
+        per-region numbers are identical to separate fits;
+      * the 14 layer selections run as ONE stacked program
+        (ridge_cv_val_scores_batched: one batched eigh + Woodbury fold
+        downdates);
+      * refits happen once per UNIQUE selected layer, predicting every
+        member region's voxels together.
+
+    Protocol parity per region: same seeded 80/20 fit/val split (a
+    fresh RandomState(seed) per pair draws the identical permutation,
+    so one subject-level draw reproduces all of them), same fit-only
+    z-norm stats, same bootstrap-over-cached-predictions.
+    Returns {region: [result-dict]} with the compute_encoding_score
+    contract.
+    """
+    regions = list(y_train.keys())
+    train_f32 = _flatten_f32(acts_train)
+    test_f32 = _flatten_f32(acts_test)
+    layers = list(train_f32.keys())
+    alphas = default_alphas()
+
+    y_tr_cat = np.concatenate([np.asarray(y_train[r], np.float32) for r in regions], axis=1)
+    y_te_cat = np.concatenate([np.asarray(y_test[r], np.float32) for r in regions], axis=1)
+    col_slices: Dict[str, slice] = {}
+    off = 0
+    for r in regions:
+        v_r = y_train[r].shape[1]
+        col_slices[r] = slice(off, off + v_r)
+        off += v_r
+
+    n_train, n_test = y_tr_cat.shape[0], y_te_cat.shape[0]
+    rng = np.random.RandomState(seed)
+    split = int(0.8 * n_train)
+    perm = rng.permutation(n_train)
+    fit_idx, val_idx = perm[:split], perm[split:]
+
+    y_fit_n, y_mean, y_std = znorm_fit(jnp.asarray(y_tr_cat[fit_idx]))
+    y_val_n = znorm(jnp.asarray(y_tr_cat[val_idx]), y_mean, y_std)
+
+    # ── 1. Layer selection: stacked by width, one batched program ──
+    val_r: Dict[str, np.ndarray] = {}
+    widths: Dict[int, list] = {}
+    for l in layers:
+        widths.setdefault(train_f32[l].shape[1], []).append(l)
+    for d, group in widths.items():
+        xs_fit = np.stack([train_f32[l][fit_idx] for l in group])
+        xs_val = np.stack([train_f32[l][val_idx] for l in group])
+        mean = xs_fit.mean(axis=1, keepdims=True)
+        std = xs_fit.std(axis=1, ddof=1, keepdims=True) + 1e-8
+        rs = ridge_cv_val_scores_batched(
+            (xs_fit - mean) / std, y_fit_n, (xs_val - mean) / std, y_val_n,
+            alphas=alphas, precision=cv_precision,
+        )
+        for l, row in zip(group, np.asarray(rs)):
+            val_r[l] = row
+
+    per_region_selection: Dict[str, list] = {}
+    per_region_best: Dict[str, str] = {}
+    for r in regions:
+        scores = [
+            {"layer": l, "score": float(val_r[l][col_slices[r]].mean())} for l in layers
+        ]
+        per_region_selection[r] = scores
+        per_region_best[r] = max(scores, key=lambda s: s["score"])["layer"]
+        if verbose:
+            rprint(
+                f"  [{r}] best layer: {per_region_best[r]} "
+                f"(val r={max(s['score'] for s in scores):.4f})",
+                style="highlight",
+            )
+
+    # ── 2. Refit once per unique best layer ─────────────────────
+    # The reference's per-pair RandomState(seed) draws perm then the
+    # bootstrap indices; reproduce the stream with the same rng.
+    boot_idx = None
+    if bootstrap:
+        boot_idx = np.stack([
+            rng.choice(n_test, size=int(n_test * 0.9), replace=False)
+            for _ in range(n_bootstrap)
+        ]).astype(np.int32)
+
+    results: Dict[str, List[Dict]] = {}
+    by_layer: Dict[str, list] = {}
+    for r in regions:
+        by_layer.setdefault(per_region_best[r], []).append(r)
+
+    for layer, members in by_layer.items():
+        x_tr = train_f32[layer]
+        x_te = test_f32[layer]
+        if reconstruct_pca_k is not None:
+            from visreps_tpu.ops.pca import fit_pca
+
+            pca = fit_pca(jnp.asarray(x_tr), min(reconstruct_pca_k, x_tr.shape[1]))
+            x_tr = np.asarray(pca.reconstruct(jnp.asarray(x_tr)))
+            x_te = np.asarray(pca.reconstruct(jnp.asarray(x_te)))
+
+        cols = np.concatenate([np.arange(col_slices[r].start, col_slices[r].stop)
+                               for r in members])
+        x_tr_n, xm, xs_ = znorm_fit(jnp.asarray(x_tr))
+        x_te_n = znorm(jnp.asarray(x_te), xm, xs_)
+        y_tr_n, ym, ys_ = znorm_fit(jnp.asarray(y_tr_cat[:, cols]))
+        y_te_n = znorm(jnp.asarray(y_te_cat[:, cols]), ym, ys_)
+
+        model = ridge_cv(x_tr_n, y_tr_n, alphas=alphas)
+        pred = model.predict(x_te_n)
+        voxel_r = correlation_score(y_te_n, pred)
+
+        off = 0
+        for r in members:
+            v_r = col_slices[r].stop - col_slices[r].start
+            sl = slice(off, off + v_r)
+            off += v_r
+            point = float(jnp.mean(voxel_r[sl]))
+            ci_low = ci_high = None
+            bootstrap_scores_list = None
+            if bootstrap:
+                scores = np.asarray(_bootstrap_pred_scores(
+                    y_te_n[:, sl], pred[:, sl], jnp.asarray(boot_idx)
+                ), np.float64)
+                ci_low, ci_high = percentile_ci(scores)
+                bootstrap_scores_list = scores.tolist()
+
+            msg = f"    [{r}] Encoding  | {layer} = {point:.4f}"
+            if bootstrap:
+                msg += f"  [95% CI: {ci_low:.4f}, {ci_high:.4f}]"
+            rprint(msg, style="highlight")
+
+            result = {
+                "layer": layer,
+                "compare_method": "pearson",
+                "score": point,
+                "ci_low": ci_low,
+                "ci_high": ci_high,
+                "analysis": "encoding_score",
+                "layer_selection_scores": per_region_selection[r],
+            }
+            if bootstrap_scores_list is not None:
+                result["bootstrap_scores"] = bootstrap_scores_list
+            results[r] = [result]
+
+    return results

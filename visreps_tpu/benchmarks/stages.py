@@ -130,6 +130,10 @@ def stage_bootstrap(n=1000, n_bootstrap=1000, method="spearman", chunk=250):
     idx = jnp.asarray(bootstrap_indices(n, n_bootstrap))
     if method == "spearman":
         fn = lambda: _bootstrap_spearman_fast(rdm_a, rdm_b, idx, chunk)  # noqa: E731
+    elif method == "kendall":
+        from visreps_tpu.ops.kendall import bootstrap_kendall_fast
+
+        fn = lambda: bootstrap_kendall_fast(rdm_a, rdm_b, idx, chunk)  # noqa: E731
     else:
         fn = lambda: _bootstrap_scores(rdm_a, rdm_b, idx, method, chunk)  # noqa: E731
     t = _timeit(fn, warmup=1, iters=2)
@@ -177,6 +181,44 @@ def stage_ridge(n=9000, d=4096, v=7604):
 
     t = _timeit(run, warmup=1, iters=1)
     return {"ridge_cv_s": t, "n": n, "d": d, "v": v}
+
+
+def stage_encoding_e2e(n_subjects=8, n_train=9000, n_test=1000, d=4096,
+                       n_taps=14, n_bootstrap=1000,
+                       voxels=(5000, 7604, 2000, 2000, 1500, 900),
+                       cv_precision="highest"):
+    """Full-NSD-scale encoding eval: 8 subjects × 6 regions × 14 layers.
+
+    VERDICT item 4 target: ≤ 300 s for the 48 (region, subject) pairs
+    at (9k × 4096 → ~19k concatenated voxels) scale. Measures the
+    subject-batched orchestrator (analysis/encoding.
+    compute_encoding_scores_subject) end to end, bootstraps included.
+    """
+    from visreps_tpu.analysis.encoding import compute_encoding_scores_subject
+
+    rng = np.random.RandomState(0)
+    acts_tr = {f"tap{i}": rng.randn(n_train, d).astype(np.float32) for i in range(n_taps)}
+    acts_te = {f"tap{i}": rng.randn(n_test, d).astype(np.float32) for i in range(n_taps)}
+    w = {r: rng.randn(d, v).astype(np.float32) / 64.0 for r, v in enumerate(voxels)}
+    y_tr = {str(r): acts_tr["tap3"] @ w[r] + rng.randn(n_train, v).astype(np.float32)
+            for r, v in enumerate(voxels)}
+    y_te = {str(r): acts_te["tap3"] @ w[r] + rng.randn(n_test, v).astype(np.float32)
+            for r, v in enumerate(voxels)}
+
+    # one subject as compile warmup, then time all subjects
+    compute_encoding_scores_subject(
+        acts_tr, acts_te, y_tr, y_te, bootstrap=True, n_bootstrap=n_bootstrap,
+        cv_precision=cv_precision,
+    )
+    t0 = time.perf_counter()
+    for _ in range(n_subjects):
+        compute_encoding_scores_subject(
+            acts_tr, acts_te, y_tr, y_te, bootstrap=True, n_bootstrap=n_bootstrap,
+            cv_precision=cv_precision,
+        )
+    t = time.perf_counter() - t0
+    return {"encoding_e2e_s": t, "per_subject_s": t / n_subjects,
+            "n_pairs": n_subjects * len(voxels), "cv_precision": cv_precision}
 
 
 def stage_train(batch_size=256, iters=8):
@@ -227,10 +269,12 @@ STAGES = {
     "rdm": stage_rdm,
     "rdm_pallas": stage_rdm_pallas,
     "bootstrap": stage_bootstrap,
-    "bootstrap_kendall": lambda: stage_bootstrap(n=500, n_bootstrap=50, method="kendall", chunk=4),
+    "bootstrap_kendall": lambda: stage_bootstrap(n=1000, n_bootstrap=1000, method="kendall", chunk=64),
     "selection": stage_selection,
     "selection_device": stage_selection_device,
     "ridge": stage_ridge,
+    "encoding_e2e": stage_encoding_e2e,
+    "encoding_e2e_high": lambda: stage_encoding_e2e(cv_precision="high"),
 }
 
 

@@ -98,7 +98,17 @@ def _parse_value(raw: str) -> Any:
     try:
         return json.loads(raw)
     except (json.JSONDecodeError, ValueError):
-        return raw
+        pass
+    # OmegaConf-style bracketed lists with unquoted elements:
+    # region=[early visual stream,ventral visual stream]
+    # (reference CLI accepts these via OmegaConf.from_dotlist).
+    s = raw.strip()
+    if s.startswith("[") and s.endswith("]"):
+        inner = s[1:-1].strip()
+        if not inner:
+            return []
+        return [_parse_value(el.strip()) for el in inner.split(",")]
+    return raw
 
 
 def from_dotlist(overrides: Iterable[str]) -> dict:

@@ -106,7 +106,10 @@ class LazyHdf5Dict:
 
     def __del__(self):
         if self._file is not None:
-            self._file.close()
+            try:
+                self._file.close()
+            except Exception:
+                pass  # h5py may already be finalized at interpreter exit
 
 
 # ── NSD ──────────────────────────────────────────────────────────

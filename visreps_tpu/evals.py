@@ -465,12 +465,67 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh=None) -> List[
 # ──────────────── encoding branch ────────────────────────
 def _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose,
                    mesh=None) -> List[Dict]:
-    """Per-(region, subject) encoding score with SRP acts throughout.
+    """Encoding score, batched per SUBJECT across regions and layers.
 
-    Reference: evals.py:552-590.
+    Reference: evals.py:552-590 loops 48 (region, subject) RidgeCV
+    pipelines serially; within a subject X is identical across regions
+    (same stimuli, different voxels), so regions' voxel blocks fit as
+    one concatenated Y and the 14 layer selections run as one stacked
+    program (analysis/encoding.compute_encoding_scores_subject).
+    Falls back to the per-pair path when regions don't share stimulus
+    sets or encoding_batched=false.
     """
+    from visreps_tpu.analysis.encoding import compute_encoding_scores_subject
+
     neural = all_data["neural"]
     all_results = []
+    batched = cfg.get("encoding_batched", True)
+    pca_k = cfg.get("pca_k", 1) if cfg.get("reconstruct_from_pcs") else None
+
+    if batched:
+        for subj in subjects:
+            key_sets = {
+                split: [frozenset(neural[r][subj][split].keys()) for r in regions]
+                for split in ("train", "test")
+            }
+            if any(ks != key_sets[split][0] for split, lst in key_sets.items() for ks in lst):
+                batched = False
+                break
+        if batched:
+            for subj in subjects:
+                rprint(f"\n  -- Subject: {subj} (all regions batched) --", style="info")
+                train_acts, _, train_ids = align_stimulus_level(
+                    acts, neural[regions[0]][subj]["train"], ids
+                )
+                test_acts, _, test_ids = align_stimulus_level(
+                    acts, neural[regions[0]][subj]["test"], ids
+                )
+                y_train = {
+                    r: np.stack([np.asarray(neural[r][subj]["train"][sid], np.float32).reshape(-1)
+                                 for sid in train_ids])
+                    for r in regions
+                }
+                y_test = {
+                    r: np.stack([np.asarray(neural[r][subj]["test"][sid], np.float32).reshape(-1)
+                                 for sid in test_ids])
+                    for r in regions
+                }
+                per_region = compute_encoding_scores_subject(
+                    train_acts, test_acts, y_train, y_test,
+                    bootstrap=cfg.get("bootstrap", True),
+                    n_bootstrap=cfg.get("n_bootstrap", 1000),
+                    verbose=verbose, reconstruct_pca_k=pca_k,
+                    cv_precision=cfg.get("encoding_cv_precision", "highest"),
+                )
+                del train_acts, test_acts
+                for region in regions:
+                    scores = per_region[region]
+                    if cfg.get("log_expdata"):
+                        save_cfg = cfg.merge({"subject_idx": subj, "region": region})
+                        save_results(scores, save_cfg)
+                    all_results.extend(scores)
+            return all_results
+
     for region in regions:
         rprint(f"\n  -- Region: {region} --", style="info")
         for subj in subjects:

@@ -104,27 +104,176 @@ def _ridge_cv_impl(x, y, alphas, n_folds):
     return w, best_alpha, cv_scores
 
 
+def _wood_cv_scores(x, y, lam, v_eig, c, alphas, n_folds, precision):
+    """Per-fold CV R² via Woodbury downdates of the FULL Gram eigh.
+
+    Eigendecompositions dominate RidgeCV cost on TPU (eigh(4096) ≈ 0.7 s
+    even batched, vs ~40 ms of matmuls per fold): instead of eigh(G_f)
+    per fold, diagonalize G once and express each fold's inverse as a
+    rank-n_val downdate in the eigenbasis,
+
+        (G_f + aI)^{-1} = V (D_a − U Uᵀ)^{-1} Vᵀ,   U = Vᵀ X_valᵀ,
+
+    solved with the Woodbury identity through an (n_val, n_val) system.
+    Stable when every fold's train block has full column rank (the
+    caller gates on n − max_fold ≥ d): then λ_min(D_a − UUᵀ) ≥
+    λ_min(G_f) which is O(n) for z-normed features, so the small system
+    is well-conditioned even at alpha → 0.
+    """
+    n = x.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+    cv_scores = jnp.zeros((alphas.shape[0], y.shape[1]), jnp.float32)
+    for start, stop in _kfold_bounds(n, n_folds):
+        xv = jax.lax.slice_in_dim(x, start, stop, axis=0)
+        yv = jax.lax.slice_in_dim(y, start, stop, axis=0)
+        nv = stop - start
+        u = jax.lax.dot(v_eig.T, xv.T, precision=hp)             # (d, nv)
+        cf = c - jax.lax.dot(xv.T, yv, precision=hp)             # (d, v)
+        ct = jax.lax.dot(v_eig.T, cf, precision=hp)              # (d, v)
+
+        def score_alpha(a):
+            dinv = 1.0 / (lam + a)                               # (d,)
+            c1 = ct * dinv[:, None]
+            r1 = jax.lax.dot(u.T, c1, precision=precision)       # (nv, v)
+            ut = u * jnp.sqrt(dinv)[:, None]
+            k = jax.lax.dot(ut.T, ut, precision=hp)              # (nv, nv)
+            s = jnp.eye(nv, dtype=jnp.float32) - k
+            z = jnp.linalg.solve(s, r1)
+            pred = r1 + jax.lax.dot(k, z, precision=precision)
+            return _r2_per_target(yv, pred)
+
+        cv_scores = cv_scores + jax.lax.map(score_alpha, alphas)
+    return cv_scores / n_folds
+
+
+@partial(jax.jit, static_argnames=("n_folds", "precision"))
+def _ridge_cv_wood_impl(x, y, alphas, n_folds, precision=jax.lax.Precision.HIGHEST):
+    hp = jax.lax.Precision.HIGHEST
+    g = jax.lax.dot(x.T, x, precision=hp)
+    c = jax.lax.dot(x.T, y, precision=hp)
+    lam, v_eig = jnp.linalg.eigh(g)
+    lam = jnp.maximum(lam, 0.0)
+    cv_scores = _wood_cv_scores(x, y, lam, v_eig, c, alphas, n_folds, precision)
+    best_idx = jnp.argmax(cv_scores, axis=0)
+    best_alpha = alphas[best_idx]
+    b = jax.lax.dot(v_eig.T, c, precision=hp)
+    w = jax.lax.dot(v_eig, b / (lam[:, None] + best_alpha[None, :]), precision=hp)
+    return w, best_alpha, cv_scores
+
+
+def _woodbury_ok(n: int, d: int, n_folds: int) -> bool:
+    """Every fold's train block must have full column rank (with slack)
+    for the Woodbury small-system to stay well-conditioned."""
+    max_fold = n // n_folds + (1 if n % n_folds else 0)
+    return (n - max_fold) >= d
+
+
 def ridge_cv(
     x: jnp.ndarray,
     y: jnp.ndarray,
     alphas: np.ndarray | None = None,
     n_folds: int = 5,
+    solver: str = "auto",
 ) -> RidgeCVResult:
     """Fit ridge with per-target alpha chosen by n-fold CV (no intercept).
 
     Callers are expected to pass z-normalized x and y (the reference
     z-norms with fit-only stats and sets fit_intercept=False —
     encoding_score.py:55,129-150).
+
+    solver: "auto" uses the single-eigh Woodbury path when the fold
+    structure permits (n − max_fold ≥ d), else the per-fold-eigh path;
+    "eigh"/"woodbury" force one.
     """
     if alphas is None:
         alphas = default_alphas()
-    w, best_alpha, cv_scores = _ridge_cv_impl(
-        jnp.asarray(x, jnp.float32),
-        jnp.asarray(y, jnp.float32),
-        jnp.asarray(alphas, jnp.float32),
-        n_folds,
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    a = jnp.asarray(alphas, jnp.float32)
+    use_wood = solver == "woodbury" or (
+        solver == "auto" and _woodbury_ok(x.shape[0], x.shape[1], n_folds)
     )
+    if use_wood:
+        w, best_alpha, cv_scores = _ridge_cv_wood_impl(x, y, a, n_folds)
+    else:
+        w, best_alpha, cv_scores = _ridge_cv_impl(x, y, a, n_folds)
     return RidgeCVResult(weights=w, best_alphas=best_alpha, cv_scores=cv_scores)
+
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+@partial(jax.jit, static_argnames=("n_folds", "precision"))
+def _val_scores_batched_wood(xs, y, xs_val, y_val, alphas, n_folds, precision):
+    """(L, n, d) layers, shared (n, v) targets → (L, v) val Pearson r.
+
+    ONE batched eigh over the L layer Grams (the expensive op — see
+    _wood_cv_scores), then a lax.map over layers for the CV sweep,
+    per-voxel alpha choice, fit, and validation prediction. This is the
+    layer-selection inner loop of the encoding protocol
+    (reference: visreps/analysis/encoding_score.py:129-162) with the
+    14-layer × 5-fold × 20-alpha sweep restructured for the MXU.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    gs = jnp.einsum("lnd,lne->lde", xs, xs, precision=hp)
+    lams, v_eigs = jnp.linalg.eigh(gs)
+    lams = jnp.maximum(lams, 0.0)
+
+    def per_layer(args):
+        x, x_val, lam, v_eig = args
+        c = jax.lax.dot(x.T, y, precision=hp)
+        cv = _wood_cv_scores(x, y, lam, v_eig, c, alphas, n_folds, precision)
+        best_alpha = alphas[jnp.argmax(cv, axis=0)]
+        b = jax.lax.dot(v_eig.T, c, precision=hp)
+        w = jax.lax.dot(v_eig, b / (lam[:, None] + best_alpha[None, :]), precision=hp)
+        pred = jax.lax.dot(x_val, w, precision=hp)
+        return correlation_score(y_val, pred)
+
+    return jax.lax.map(per_layer, (xs, xs_val, lams, v_eigs))
+
+
+@partial(jax.jit, static_argnames=("n_folds",))
+def _val_scores_batched_eigh(xs, y, xs_val, y_val, alphas, n_folds):
+    """Per-fold-eigh fallback of _val_scores_batched_wood (small n)."""
+    hp = jax.lax.Precision.HIGHEST
+
+    def per_layer(args):
+        x, x_val = args
+        w, _, _ = _ridge_cv_impl(x, y, alphas, n_folds)
+        pred = jax.lax.dot(x_val, w, precision=hp)
+        return correlation_score(y_val, pred)
+
+    return jax.lax.map(per_layer, (xs, xs_val))
+
+
+def ridge_cv_val_scores_batched(
+    xs_fit, y_fit, xs_val, y_val,
+    alphas=None, n_folds: int = 5, solver: str = "auto",
+    precision: str = "highest",
+):
+    """Stacked-layer RidgeCV selection: (L, v) per-voxel val Pearson r."""
+    if alphas is None:
+        alphas = default_alphas()
+    xs_fit = jnp.asarray(xs_fit, jnp.float32)
+    a = jnp.asarray(alphas, jnp.float32)
+    use_wood = solver == "woodbury" or (
+        solver == "auto" and _woodbury_ok(xs_fit.shape[1], xs_fit.shape[2], n_folds)
+    )
+    if use_wood:
+        return _val_scores_batched_wood(
+            xs_fit, jnp.asarray(y_fit, jnp.float32),
+            jnp.asarray(xs_val, jnp.float32), jnp.asarray(y_val, jnp.float32),
+            a, n_folds, _PRECISIONS[precision],
+        )
+    return _val_scores_batched_eigh(
+        xs_fit, jnp.asarray(y_fit, jnp.float32),
+        jnp.asarray(xs_val, jnp.float32), jnp.asarray(y_val, jnp.float32),
+        a, n_folds,
+    )
 
 
 @jax.jit

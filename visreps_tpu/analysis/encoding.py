@@ -28,6 +28,8 @@ from visreps_tpu.ops.ridge import (
     correlation_score,
     default_alphas,
     ridge_cv,
+    ridge_cv_refit_predict,
+    ridge_cv_selection_val_r,
     ridge_cv_val_scores_batched,
 )
 from visreps_tpu.ops.znorm import znorm, znorm_fit
@@ -213,9 +215,10 @@ def compute_encoding_scores_subject(
       * regions' voxel blocks are concatenated into one Y — per-voxel
         alpha CV and Pearson scoring are column-independent, so the
         per-region numbers are identical to separate fits;
-      * the 14 layer selections run as ONE stacked program
-        (ridge_cv_val_scores_batched: one batched eigh + Woodbury fold
-        downdates);
+      * the 14 layer selections run as ONE jitted program per layer
+        width (ridge_cv_selection_val_r: fit/val gather + z-norms +
+        one batched eigh + Woodbury fold downdates, no host round
+        trips — device-resident activations stay on device);
       * refits happen once per UNIQUE selected layer, predicting every
         member region's voxels together.
 
@@ -232,8 +235,12 @@ def compute_encoding_scores_subject(
     layers = list(train_f32.keys())
     alphas = default_alphas()
 
-    y_tr_cat = np.concatenate([np.asarray(y_train[r], np.float32) for r in regions], axis=1)
-    y_te_cat = np.concatenate([np.asarray(y_test[r], np.float32) for r in regions], axis=1)
+    on_device = isinstance(next(iter(train_f32.values())), jax.Array)
+    cat = jnp.concatenate if isinstance(y_train[regions[0]], jax.Array) else np.concatenate
+    stack = jnp.stack if on_device else np.stack
+
+    y_tr_cat = cat([y_train[r] for r in regions], axis=1)
+    y_te_cat = cat([y_test[r] for r in regions], axis=1)
     col_slices: Dict[str, slice] = {}
     off = 0
     for r in regions:
@@ -247,22 +254,15 @@ def compute_encoding_scores_subject(
     perm = rng.permutation(n_train)
     fit_idx, val_idx = perm[:split], perm[split:]
 
-    y_fit_n, y_mean, y_std = znorm_fit(jnp.asarray(y_tr_cat[fit_idx]))
-    y_val_n = znorm(jnp.asarray(y_tr_cat[val_idx]), y_mean, y_std)
-
-    # ── 1. Layer selection: stacked by width, one batched program ──
+    # ── 1. Layer selection: stacked by width, one jitted program ──
     val_r: Dict[str, np.ndarray] = {}
     widths: Dict[int, list] = {}
     for l in layers:
         widths.setdefault(train_f32[l].shape[1], []).append(l)
     for d, group in widths.items():
-        xs_fit = np.stack([train_f32[l][fit_idx] for l in group])
-        xs_val = np.stack([train_f32[l][val_idx] for l in group])
-        mean = xs_fit.mean(axis=1, keepdims=True)
-        std = xs_fit.std(axis=1, ddof=1, keepdims=True) + 1e-8
-        rs = ridge_cv_val_scores_batched(
-            (xs_fit - mean) / std, y_fit_n, (xs_val - mean) / std, y_val_n,
-            alphas=alphas, precision=cv_precision,
+        xs = stack([train_f32[l] for l in group])
+        rs = ridge_cv_selection_val_r(
+            xs, y_tr_cat, fit_idx, val_idx, alphas=alphas, precision=cv_precision
         )
         for l, row in zip(group, np.asarray(rs)):
             val_r[l] = row
@@ -291,6 +291,7 @@ def compute_encoding_scores_subject(
             rng.choice(n_test, size=int(n_test * 0.9), replace=False)
             for _ in range(n_bootstrap)
         ]).astype(np.int32)
+        boot_idx = jnp.asarray(boot_idx)
 
     results: Dict[str, List[Dict]] = {}
     by_layer: Dict[str, list] = {}
@@ -304,19 +305,16 @@ def compute_encoding_scores_subject(
             from visreps_tpu.ops.pca import fit_pca
 
             pca = fit_pca(jnp.asarray(x_tr), min(reconstruct_pca_k, x_tr.shape[1]))
-            x_tr = np.asarray(pca.reconstruct(jnp.asarray(x_tr)))
-            x_te = np.asarray(pca.reconstruct(jnp.asarray(x_te)))
+            x_tr = pca.reconstruct(jnp.asarray(x_tr))
+            x_te = pca.reconstruct(jnp.asarray(x_te))
 
         cols = np.concatenate([np.arange(col_slices[r].start, col_slices[r].stop)
                                for r in members])
-        x_tr_n, xm, xs_ = znorm_fit(jnp.asarray(x_tr))
-        x_te_n = znorm(jnp.asarray(x_te), xm, xs_)
-        y_tr_n, ym, ys_ = znorm_fit(jnp.asarray(y_tr_cat[:, cols]))
-        y_te_n = znorm(jnp.asarray(y_te_cat[:, cols]), ym, ys_)
-
-        model = ridge_cv(x_tr_n, y_tr_n, alphas=alphas)
-        pred = model.predict(x_te_n)
-        voxel_r = correlation_score(y_te_n, pred)
+        y_tr_m = y_tr_cat[:, cols] if len(members) < len(regions) else y_tr_cat
+        y_te_m = y_te_cat[:, cols] if len(members) < len(regions) else y_te_cat
+        pred, voxel_r, y_te_n = ridge_cv_refit_predict(
+            x_tr, y_tr_m, x_te, y_te_m, alphas=alphas, precision=cv_precision
+        )
 
         off = 0
         for r in members:
@@ -328,7 +326,7 @@ def compute_encoding_scores_subject(
             bootstrap_scores_list = None
             if bootstrap:
                 scores = np.asarray(_bootstrap_pred_scores(
-                    y_te_n[:, sl], pred[:, sl], jnp.asarray(boot_idx)
+                    y_te_n[:, sl], pred[:, sl], boot_idx
                 ), np.float64)
                 ci_low, ci_high = percentile_ci(scores)
                 bootstrap_scores_list = scores.tolist()

@@ -194,16 +194,27 @@ def stage_encoding_e2e(n_subjects=8, n_train=9000, n_test=1000, d=4096,
     subject-batched orchestrator (analysis/encoding.
     compute_encoding_scores_subject) end to end, bootstraps included.
     """
+    import jax
+    import jax.numpy as jnp
+
     from visreps_tpu.analysis.encoding import compute_encoding_scores_subject
 
-    rng = np.random.RandomState(0)
-    acts_tr = {f"tap{i}": rng.randn(n_train, d).astype(np.float32) for i in range(n_taps)}
-    acts_te = {f"tap{i}": rng.randn(n_test, d).astype(np.float32) for i in range(n_taps)}
-    w = {r: rng.randn(d, v).astype(np.float32) / 64.0 for r, v in enumerate(voxels)}
-    y_tr = {str(r): acts_tr["tap3"] @ w[r] + rng.randn(n_train, v).astype(np.float32)
-            for r, v in enumerate(voxels)}
-    y_te = {str(r): acts_te["tap3"] @ w[r] + rng.randn(n_test, v).astype(np.float32)
-            for r, v in enumerate(voxels)}
+    # Device-resident fixture, generated on device (eval activations are
+    # HBM-resident in the real pipeline — acts_store="device" — and the
+    # relay's host→device path must stay out of the measurement).
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    acts_tr = {f"tap{i}": jax.random.normal(jax.random.fold_in(keys[0], i), (n_train, d))
+               for i in range(n_taps)}
+    acts_te = {f"tap{i}": jax.random.normal(jax.random.fold_in(keys[1], i), (n_test, d))
+               for i in range(n_taps)}
+    y_tr, y_te = {}, {}
+    for r, v in enumerate(voxels):
+        w = jax.random.normal(jax.random.fold_in(keys[2], r), (d, v)) / 64.0
+        y_tr[str(r)] = acts_tr["tap3"] @ w + jax.random.normal(
+            jax.random.fold_in(keys[3], 2 * r), (n_train, v))
+        y_te[str(r)] = acts_te["tap3"] @ w + jax.random.normal(
+            jax.random.fold_in(keys[3], 2 * r + 1), (n_test, v))
+    jax.block_until_ready((y_tr, y_te))
 
     # one subject as compile warmup, then time all subjects
     compute_encoding_scores_subject(

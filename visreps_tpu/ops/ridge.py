@@ -276,6 +276,122 @@ def ridge_cv_val_scores_batched(
     )
 
 
+def _znorm_cols(x, axis=0):
+    """Column z-norm with Bessel std + 1e-8 (ops/znorm semantics),
+    returning (normed, mean, std)."""
+    m = x.mean(axis=axis, keepdims=True)
+    s = x.std(axis=axis, ddof=1, keepdims=True) + 1e-8
+    return (x - m) / s, m, s
+
+
+def _cv_and_predict(x_fit, y_fit, x_val, lam, v_eig, alphas, n_folds, precision,
+                    use_wood: bool):
+    """Per-layer CV alpha choice + full-fit weights + val predictions."""
+    hp = jax.lax.Precision.HIGHEST
+    c = jax.lax.dot(x_fit.T, y_fit, precision=hp)
+    if use_wood:
+        cv = _wood_cv_scores(x_fit, y_fit, lam, v_eig, c, alphas, n_folds, precision)
+    else:
+        _, _, cv = _ridge_cv_impl(x_fit, y_fit, alphas, n_folds)
+    best_alpha = alphas[jnp.argmax(cv, axis=0)]
+    b = jax.lax.dot(v_eig.T, c, precision=hp)
+    w = jax.lax.dot(v_eig, b / (lam[:, None] + best_alpha[None, :]), precision=hp)
+    return jax.lax.dot(x_val, w, precision=hp)
+
+
+@partial(jax.jit, static_argnames=("n_folds", "precision", "use_wood"))
+def _selection_val_r_impl(xs, y, fit_idx, val_idx, alphas, n_folds, precision,
+                          use_wood):
+    """Raw stacked layers → (L, v) val Pearson r, entirely in ONE jit.
+
+    Does the fit/val gather, fit-stat z-norms, batched eigh, Woodbury
+    CV sweep, per-voxel-alpha fit and val prediction on device with no
+    host round trips — crucial when dispatch rides a remote relay
+    (eager per-op latency) and inputs are device-resident activations.
+    """
+    xs_fit = jnp.take(xs, fit_idx, axis=1)
+    xs_val = jnp.take(xs, val_idx, axis=1)
+    y_fit, ym, ysd = _znorm_cols(y[fit_idx])
+    y_val = (y[val_idx] - ym) / ysd
+
+    xm = xs_fit.mean(axis=1, keepdims=True)
+    xsd = xs_fit.std(axis=1, ddof=1, keepdims=True) + 1e-8
+    xs_fit = (xs_fit - xm) / xsd
+    xs_val = (xs_val - xm) / xsd
+
+    hp = jax.lax.Precision.HIGHEST
+    gs = jnp.einsum("lnd,lne->lde", xs_fit, xs_fit, precision=hp)
+    lams, v_eigs = jnp.linalg.eigh(gs)
+    lams = jnp.maximum(lams, 0.0)
+
+    def per_layer(args):
+        x_fit, x_val, lam, v_eig = args
+        pred = _cv_and_predict(x_fit, y_fit, x_val, lam, v_eig, alphas, n_folds,
+                               precision, use_wood)
+        return correlation_score(y_val, pred)
+
+    return jax.lax.map(per_layer, (xs_fit, xs_val, lams, v_eigs))
+
+
+def ridge_cv_selection_val_r(xs, y, fit_idx, val_idx, alphas=None,
+                             n_folds: int = 5, solver: str = "auto",
+                             precision: str = "highest"):
+    """(L, n, d) RAW layers + (n, v) RAW targets + fit/val split
+    → (L, v) per-voxel validation Pearson r (the encoding selection
+    criterion, reference: encoding_score.py:129-162)."""
+    if alphas is None:
+        alphas = default_alphas()
+    n_fit = int(np.asarray(fit_idx).shape[0])
+    use_wood = solver == "woodbury" or (
+        solver == "auto" and _woodbury_ok(n_fit, xs.shape[2], n_folds)
+    )
+    return _selection_val_r_impl(
+        jnp.asarray(xs, jnp.float32), jnp.asarray(y, jnp.float32),
+        jnp.asarray(fit_idx), jnp.asarray(val_idx),
+        jnp.asarray(alphas, jnp.float32), n_folds, _PRECISIONS[precision],
+        use_wood,
+    )
+
+
+@partial(jax.jit, static_argnames=("n_folds", "precision", "use_wood"))
+def _refit_predict_impl(x_tr, x_te, y_tr, y_te, alphas, n_folds, precision,
+                        use_wood):
+    """Full-train znorm + RidgeCV + test prediction in one jit.
+
+    Returns (pred, voxel_r, y_te_normed) — pred/y_te_normed feed the
+    bootstrap-over-cached-predictions."""
+    hp = jax.lax.Precision.HIGHEST
+    x_tr, xm, xsd = _znorm_cols(x_tr)
+    x_te = (x_te - xm) / xsd
+    y_tr, ym, ysd = _znorm_cols(y_tr)
+    y_te = (y_te - ym) / ysd
+
+    if use_wood:
+        w, _, _ = _ridge_cv_wood_impl(x_tr, y_tr, alphas, n_folds, precision)
+    else:
+        w, _, _ = _ridge_cv_impl(x_tr, y_tr, alphas, n_folds)
+    pred = jax.lax.dot(x_te, w, precision=hp)
+    return pred, correlation_score(y_te, pred), y_te
+
+
+def ridge_cv_refit_predict(x_tr, y_tr, x_te, y_te, alphas=None,
+                           n_folds: int = 5, solver: str = "auto",
+                           precision: str = "highest"):
+    """Refit on the full train split, predict test. Returns
+    (pred, voxel_r, y_te_normed) as device arrays."""
+    if alphas is None:
+        alphas = default_alphas()
+    use_wood = solver == "woodbury" or (
+        solver == "auto" and _woodbury_ok(x_tr.shape[0], x_tr.shape[1], n_folds)
+    )
+    return _refit_predict_impl(
+        jnp.asarray(x_tr, jnp.float32), jnp.asarray(x_te, jnp.float32),
+        jnp.asarray(y_tr, jnp.float32), jnp.asarray(y_te, jnp.float32),
+        jnp.asarray(alphas, jnp.float32), n_folds, _PRECISIONS[precision],
+        use_wood,
+    )
+
+
 @jax.jit
 def correlation_score(y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
     """Per-column (voxel) Pearson r — himalaya.scoring.correlation_score."""

@@ -1,40 +1,41 @@
-"""NSD-Synthetic (OOD) coarseness figures.
+"""NSD-Synthetic coarseness figures (OOD stimuli, both streams).
 
-Reference: plotters/nsd_synthetic/plot_coarseness.py.
+Reference parity: plotters/nsd_synthetic/plot_coarseness.py.
 """
 from __future__ import annotations
 
 import argparse
 
-from plotters.plotter_utils import plot_coarseness_bars, plot_per_subject, query_best_scores
+from plotters.plot_helpers import PCA_MODELS, plot_coarseness_bars, plot_per_subject
 
-REGIONS = ["early visual stream", "ventral visual stream"]
+OUTPUT_DIR = "plotters/nsd_synthetic/figures"
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--compare-method", default="spearman")
-    parser.add_argument("--checkpoint-dir", default=None)
-    parser.add_argument("--out-dir", default="figures/nsd_synthetic")
-    parser.add_argument("--db", default=None)
-    args = parser.parse_args(argv)
+    p = argparse.ArgumentParser()
+    p.add_argument("--pca_labels", default="alexnet", choices=list(PCA_MODELS))
+    p.add_argument("--compare_method", default="spearman",
+                   choices=["spearman", "pearson", "kendall"])
+    p.add_argument("--out-dir", default=OUTPUT_DIR)
+    p.add_argument("--db", default=None)
+    args = p.parse_args(argv)
 
-    for region in REGIONS:
-        df = query_best_scores(
-            "nsd_synthetic", analysis="rsa", compare_method=args.compare_method,
-            region=region, checkpoint_dir=args.checkpoint_dir, db_path=args.db,
-        )
-        if df.empty:
-            print(f"No rows for {region}")
-            continue
-        slug = region.replace(" ", "_")
-        plot_coarseness_bars(
-            df, f"{args.out_dir}/coarseness_{slug}.png",
-            ylabel="RSA score (OOD)", title=f"NSD-Synthetic {region}",
-            compare_method=args.compare_method, db_path=args.db,
-        )
-        plot_per_subject(df, f"{args.out_dir}/per_subject_{slug}.png",
-                         ylabel="RSA score (OOD)", title=f"NSD-Synthetic {region}")
+    dcfg = {
+        "neural_dataset": "nsd_synthetic",
+        "has_subjects": True,
+        "analysis": "rsa",
+        "compare_method": args.compare_method,
+        "regions": ["early visual stream", "ventral visual stream"],
+        "region_labels": {
+            "early visual stream": "Early Visual Stream",
+            "ventral visual stream": "Ventral Visual Stream",
+        },
+        "output_suffix": "",
+    }
+    plot_coarseness_bars(dcfg, args.pca_labels, args.out_dir,
+                         dataset_label="NSD-Synthetic", db_path=args.db)
+    plot_per_subject(dcfg, args.pca_labels, args.out_dir,
+                     dataset_label="NSD-Synthetic", db_path=args.db)
 
 
 if __name__ == "__main__":

@@ -1,31 +1,38 @@
-"""THINGS behavioral coarseness figures. Reference: plotters/things/plot_coarseness.py."""
+"""THINGS behavioral-embedding coarseness figure (no subjects).
+
+Reference parity: plotters/things/plot_coarseness.py.
+"""
 from __future__ import annotations
 
 import argparse
 
-from plotters.plotter_utils import plot_coarseness_bars, query_best_scores
+from plotters.plot_helpers import PCA_MODELS, plot_coarseness_bars, plot_per_subject
+
+OUTPUT_DIR = "plotters/things/figures"
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--compare-method", default="spearman")
-    parser.add_argument("--checkpoint-dir", default=None)
-    parser.add_argument("--out-dir", default="figures/things")
-    parser.add_argument("--db", default=None)
-    args = parser.parse_args(argv)
+    p = argparse.ArgumentParser()
+    p.add_argument("--pca_labels", default="alexnet", choices=list(PCA_MODELS))
+    p.add_argument("--compare_method", default="spearman",
+                   choices=["spearman", "pearson", "kendall"])
+    p.add_argument("--out-dir", default=OUTPUT_DIR)
+    p.add_argument("--db", default=None)
+    args = p.parse_args(argv)
 
-    df = query_best_scores(
-        "things-behavior", analysis="rsa", compare_method=args.compare_method,
-        checkpoint_dir=args.checkpoint_dir, db_path=args.db,
-    )
-    if df.empty:
-        print("No rows for things-behavior")
-        return
-    plot_coarseness_bars(
-        df, f"{args.out_dir}/coarseness_behavior.png",
-        ylabel="Behavioral RSA", title="THINGS similarity embedding",
-        compare_method=args.compare_method, db_path=args.db,
-    )
+    dcfg = {
+        "neural_dataset": "things-behavior",
+        "has_subjects": False,
+        "analysis": "rsa",
+        "compare_method": args.compare_method,
+        "regions": ["N/A"],
+        "region_labels": {"N/A": "Behavioral Embedding"},
+        "output_suffix": "",
+    }
+    plot_coarseness_bars(dcfg, args.pca_labels, args.out_dir,
+                         dataset_label="THINGS", db_path=args.db)
+    plot_per_subject(dcfg, args.pca_labels, args.out_dir,
+                     dataset_label="THINGS", db_path=args.db)
 
 
 if __name__ == "__main__":

@@ -1,38 +1,38 @@
-"""TVSD (macaque) coarseness figures. Reference: plotters/tvsd/plot_coarseness.py."""
+"""TVSD (macaque MUA) coarseness figures: V1 / V4 / IT.
+
+Reference parity: plotters/tvsd/plot_coarseness.py.
+"""
 from __future__ import annotations
 
 import argparse
 
-from plotters.plotter_utils import plot_coarseness_bars, plot_per_subject, query_best_scores
+from plotters.plot_helpers import PCA_MODELS, plot_coarseness_bars, plot_per_subject
 
-REGIONS = ["V1", "V4", "IT"]
+OUTPUT_DIR = "plotters/tvsd/figures"
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--analysis", default="rsa")
-    parser.add_argument("--compare-method", default="spearman")
-    parser.add_argument("--checkpoint-dir", default=None)
-    parser.add_argument("--out-dir", default="figures/tvsd")
-    parser.add_argument("--db", default=None)
-    args = parser.parse_args(argv)
+    p = argparse.ArgumentParser()
+    p.add_argument("--pca_labels", default="alexnet", choices=list(PCA_MODELS))
+    p.add_argument("--compare_method", default="spearman",
+                   choices=["spearman", "pearson", "kendall"])
+    p.add_argument("--out-dir", default=OUTPUT_DIR)
+    p.add_argument("--db", default=None)
+    args = p.parse_args(argv)
 
-    ylabel = "RSA score" if args.analysis == "rsa" else "Encoding r"
-    for region in REGIONS:
-        df = query_best_scores(
-            "tvsd", analysis=args.analysis, compare_method=args.compare_method,
-            region=region, checkpoint_dir=args.checkpoint_dir, db_path=args.db,
-        )
-        if df.empty:
-            print(f"No rows for {region}")
-            continue
-        plot_coarseness_bars(
-            df, f"{args.out_dir}/coarseness_{region}.png",
-            ylabel=ylabel, title=f"TVSD {region}",
-            compare_method=args.compare_method, db_path=args.db,
-        )
-        plot_per_subject(df, f"{args.out_dir}/per_subject_{region}.png",
-                         ylabel=ylabel, title=f"TVSD {region}")
+    dcfg = {
+        "neural_dataset": "tvsd",
+        "has_subjects": True,  # 2 monkeys
+        "analysis": "rsa",
+        "compare_method": args.compare_method,
+        "regions": ["V1", "V4", "IT"],
+        "region_labels": {"V1": "V1", "V4": "V4", "IT": "IT"},
+        "output_suffix": "",
+    }
+    plot_coarseness_bars(dcfg, args.pca_labels, args.out_dir,
+                         dataset_label="TVSD", db_path=args.db)
+    plot_per_subject(dcfg, args.pca_labels, args.out_dir,
+                     dataset_label="TVSD", db_path=args.db)
 
 
 if __name__ == "__main__":

@@ -103,29 +103,6 @@ class TestDashboard:
         assert df.n[0] == 4
 
 
-class TestPlotters:
-    def test_query_and_plot(self, tmp_path):
-        from plotters.plotter_utils import (
-            get_bootstrap_ci,
-            plot_coarseness_bars,
-            plot_per_subject,
-            query_best_scores,
-        )
-
-        db = tmp_path / "results.db"
-        _populate_db(db, n_subjects=3, cfgs=(2, 4, 8))
-        df = query_best_scores("nsd", region="V1", db_path=db)
-        assert len(df) == 9
-        lo, hi = get_bootstrap_ci(list(df.run_id[:3]), db_path=db)
-        assert lo < hi
-        out = tmp_path / "fig.png"
-        plot_coarseness_bars(df, str(out), db_path=db)
-        assert out.exists()
-        out2 = tmp_path / "fig2.png"
-        plot_per_subject(df, str(out2))
-        assert out2.exists()
-
-
 class TestCoarseLabels:
     def test_pca_bit_labels_nested_hierarchy(self, rng):
         import sys

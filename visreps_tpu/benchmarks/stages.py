@@ -232,6 +232,106 @@ def stage_encoding_e2e(n_subjects=8, n_train=9000, n_test=1000, d=4096,
             "n_pairs": n_subjects * len(voxels), "cv_precision": cv_precision}
 
 
+def stage_e2e_measured(batch_size=256, num_workers=16, n_bootstrap=1000):
+    """MEASURED wall-clock of the BASELINE.md north-star workload.
+
+    Runs the real `evals.eval` orchestration — real HDF5 loader (73k
+    stimuli through LazyHdf5Dict + transforms), real two-phase RSA for
+    8 subjects × 6 regions with 1000-iteration bootstraps, real
+    results.db writes — against the on-disk synthetic fixture
+    (benchmarks/fixture.py; synthetic pixels, authentic data path).
+    Replaces round 1's stage-composed projection (VERDICT item 3).
+    """
+    import tempfile
+    from pathlib import Path
+
+    from visreps_tpu.benchmarks.fixture import ensure_fixture
+
+    meta = ensure_fixture()
+    os.environ["NSD_DATA_DIR"] = str(Path(meta["pickle"]).parent)
+
+    import visreps_tpu.core.db as db
+    import visreps_tpu.data.neural as neural_mod
+    import visreps_tpu.evals as evals
+    from visreps_tpu.core.config import Config
+
+    neural_mod.NSD_STIMULI_HDF5 = meta["hdf5"]
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    db.RESULTS_DB_PATH = Path(tmp) / "results.db"
+    evals.RESULTS_DB_PATH = db.RESULTS_DB_PATH
+
+    cfg = Config({
+        "mode": "eval", "seed": 1, "neural_dataset": "nsd",
+        "subject_idx": list(range(meta["n_subjects"])),
+        "region": ["early visual stream", "ventral visual stream",
+                   "V1", "V2", "V3", "hV4"],
+        "analysis": "rsa", "compare_method": "spearman",
+        "bootstrap": True, "n_bootstrap": n_bootstrap, "n_select": 1000,
+        "batchsize": batch_size, "num_workers": num_workers,
+        "load_model_from": "torchvision", "model_name": "AlexNet",
+        "pretrained_dataset": "none", "extract_pre_and_post": True,
+        "srp_k": 4096, "uint8_transfer": True, "log_expdata": True,
+    })
+    cfg.epoch = -1
+    cfg.cfg_id = "untrained"
+
+    t0 = time.perf_counter()
+    results = evals.eval(cfg)
+    wall = time.perf_counter() - t0
+
+    import sqlite3
+
+    conn = sqlite3.connect(str(db.RESULTS_DB_PATH))
+    n_rows = conn.execute("SELECT COUNT(*) FROM results").fetchone()[0]
+    conn.close()
+    return {
+        "e2e_measured_s": wall, "n_results": len(results), "db_rows": n_rows,
+        "n_stimuli": meta["n_stimuli"], "n_pairs": len(results),
+        "n_voxels_per_region": meta["n_voxels_per_region"],
+        "stimulus_hw": meta["img_size"],
+    }
+
+
+def stage_decode(n_images=4096, num_workers=16, batch_size=256):
+    """Host JPEG decode+transform throughput through the real loader."""
+    from visreps_tpu.benchmarks.fixture import ensure_fixture
+    from visreps_tpu.data.loader import make_stimuli_loader
+    from visreps_tpu.data.transforms import get_transform
+
+    meta = ensure_fixture()
+    files = sorted(os.listdir(meta["jpeg_dir"]))[:n_images]
+    stimuli = {f: os.path.join(meta["jpeg_dir"], f) for f in files}
+    dl = make_stimuli_loader(stimuli, get_transform("imgnet", normalize=False),
+                             batch_size, num_workers)
+    n = 0
+    t0 = time.perf_counter()
+    for x, keys in dl:
+        n += len(keys)
+    t = time.perf_counter() - t0
+    return {"decode_images_per_sec": n / t, "n_images": n,
+            "num_workers": num_workers}
+
+
+def stage_h2d(batch_size=256, iters=12):
+    """Host→device transfer throughput for uint8 image batches."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(0).integers(
+        0, 255, (batch_size, 224, 224, 3), dtype=np.uint8)
+    a = jax.device_put(x)
+    _ = float(jnp.sum(a[0, 0, 0]))  # warm
+    t0 = time.perf_counter()
+    moved = 0
+    for _ in range(iters):
+        a = jax.device_put(x)
+        _ = float(jnp.sum(a[0, 0, 0]))
+        moved += x.nbytes
+    t = time.perf_counter() - t0
+    return {"h2d_MB_per_s": moved / t / 1e6,
+            "h2d_images_per_sec": batch_size * iters / t}
+
+
 def stage_train(batch_size=256, iters=8):
     """CustomCNN train-step throughput (fwd+bwd+adamw, 224 images).
 
@@ -286,6 +386,9 @@ STAGES = {
     "ridge": stage_ridge,
     "encoding_e2e": stage_encoding_e2e,
     "encoding_e2e_high": lambda: stage_encoding_e2e(cv_precision="high"),
+    "e2e_measured": stage_e2e_measured,
+    "decode": stage_decode,
+    "h2d": stage_h2d,
 }
 
 

@@ -83,3 +83,56 @@ class TestLoaderIntegration:
         loader = PrefetchLoader(ds, batch_size=1, shuffle=False, num_workers=1)
         (batch, keys), = list(loader)
         assert batch.shape == (1, 224, 224, 3)
+
+
+class TestPngDecode:
+    """PNG support (VERDICT item 9): NSD-Synthetic stimuli are PNGs."""
+
+    @pytest.fixture(scope="class")
+    def pngs(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("pngs")
+        rng = np.random.RandomState(1)
+        paths = []
+        for i, (h, w) in enumerate([(400, 500), (300, 300), (250, 320)]):
+            img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            p = root / f"img{i}.png"
+            Image.fromarray(img).save(p)
+            paths.append(str(p))
+        # non-RGB variants: grayscale and RGBA and palette
+        gray = (rng.rand(280, 300) * 255).astype(np.uint8)
+        p = root / "gray.png"
+        Image.fromarray(gray, "L").save(p)
+        paths.append(str(p))
+        rgba = (rng.rand(280, 300, 4) * 255).astype(np.uint8)
+        p = root / "rgba.png"
+        Image.fromarray(rgba, "RGBA").save(p)
+        paths.append(str(p))
+        pal = Image.fromarray((rng.rand(260, 310, 3) * 255).astype(np.uint8)).convert(
+            "P", palette=Image.ADAPTIVE)
+        p = root / "palette.png"
+        pal.save(p)
+        paths.append(str(p))
+        return paths
+
+    def test_matches_pil_pipeline(self, pngs):
+        tfm = get_transform("imgnet")
+        out = native.decode_batch(pngs, 256, 224)
+        for i, p in enumerate(pngs):
+            ref = tfm(load_image(p))
+            assert np.abs(out[i] - ref).mean() < 0.02, p
+            assert np.abs(out[i] - ref).max() < 0.2, p
+
+    def test_mixed_jpeg_png_batch(self, pngs, jpegs):
+        mixed = [jpegs[0], pngs[0], jpegs[1], pngs[1]]
+        out = native.decode_batch(mixed, 256, 224)
+        tfm = get_transform("imgnet")
+        for i, p in enumerate(mixed):
+            assert np.abs(out[i] - tfm(load_image(p))).mean() < 0.02
+
+    def test_stimuli_dataset_accepts_png(self, pngs):
+        ds = StimuliDataset({f"s{i}": p for i, p in enumerate(pngs[:3])},
+                            get_transform("imgnet"))
+        res = ds.native_batch(list(range(3)))
+        assert res is not None
+        batch, keys = res
+        assert batch.shape == (3, 224, 224, 3)

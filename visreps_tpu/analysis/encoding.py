@@ -29,6 +29,7 @@ from visreps_tpu.ops.ridge import (
     default_alphas,
     ridge_cv,
     ridge_cv_refit_predict,
+    ridge_cv_refit_predict_grouped,
     ridge_cv_selection_val_r,
     ridge_cv_val_scores_batched,
 )
@@ -203,6 +204,7 @@ def compute_encoding_scores_subject(
     verbose: bool = False,
     reconstruct_pca_k: int | None = None,
     cv_precision: str = "highest",
+    _defer: bool = False,
 ) -> Dict[str, List[Dict]]:
     """All-region encoding scores for ONE subject in one batched pass.
 
@@ -293,11 +295,42 @@ def compute_encoding_scores_subject(
         ]).astype(np.int32)
         boot_idx = jnp.asarray(boot_idx)
 
-    results: Dict[str, List[Dict]] = {}
+    jobs = _build_refit_jobs(
+        train_f32, test_f32, y_train, y_test, col_slices, regions,
+        per_region_best, reconstruct_pca_k,
+    )
+    del y_tr_cat, y_te_cat
+    if _defer:
+        return {
+            "jobs": jobs, "selection": per_region_selection,
+            "best": per_region_best, "boot_idx": boot_idx,
+            "col_slices": col_slices, "bootstrap": bootstrap,
+        }
+
+    refits = []
+    for j in jobs:
+        y_tr_m, y_te_m = _job_targets(j)
+        refits.append(ridge_cv_refit_predict(
+            j["x_tr"], y_tr_m, j["x_te"], y_te_m,
+            alphas=alphas, precision=cv_precision,
+        ))
+    return _assemble_subject_results(
+        jobs, refits, per_region_selection, bootstrap, boot_idx, col_slices
+    )
+
+
+def _build_refit_jobs(train_f32, test_f32, y_train, y_test, col_slices,
+                      regions, per_region_best, reconstruct_pca_k):
+    """One refit job per unique selected layer.
+
+    Jobs hold REFERENCES to the per-region y blocks (concatenated only
+    at refit time) so deferring refits across subjects never duplicates
+    the big concatenated target matrices in HBM."""
     by_layer: Dict[str, list] = {}
     for r in regions:
         by_layer.setdefault(per_region_best[r], []).append(r)
 
+    jobs = []
     for layer, members in by_layer.items():
         x_tr = train_f32[layer]
         x_te = test_f32[layer]
@@ -307,17 +340,30 @@ def compute_encoding_scores_subject(
             pca = fit_pca(jnp.asarray(x_tr), min(reconstruct_pca_k, x_tr.shape[1]))
             x_tr = pca.reconstruct(jnp.asarray(x_tr))
             x_te = pca.reconstruct(jnp.asarray(x_te))
+        jobs.append({
+            "layer": layer, "members": members,
+            "x_tr": x_tr, "x_te": x_te,
+            "y_tr_parts": [y_train[r] for r in members],
+            "y_te_parts": [y_test[r] for r in members],
+        })
+    return jobs
 
-        cols = np.concatenate([np.arange(col_slices[r].start, col_slices[r].stop)
-                               for r in members])
-        y_tr_m = y_tr_cat[:, cols] if len(members) < len(regions) else y_tr_cat
-        y_te_m = y_te_cat[:, cols] if len(members) < len(regions) else y_te_cat
-        pred, voxel_r, y_te_n = ridge_cv_refit_predict(
-            x_tr, y_tr_m, x_te, y_te_m, alphas=alphas, precision=cv_precision
-        )
 
+def _job_targets(job):
+    """Concatenate one job's per-region target blocks (lazily)."""
+    parts_tr, parts_te = job["y_tr_parts"], job["y_te_parts"]
+    cat = jnp.concatenate if isinstance(parts_tr[0], jax.Array) else np.concatenate
+    if len(parts_tr) == 1:
+        return parts_tr[0], parts_te[0]
+    return cat(parts_tr, axis=1), cat(parts_te, axis=1)
+
+
+def _assemble_subject_results(jobs, refits, per_region_selection, bootstrap,
+                              boot_idx, col_slices) -> Dict[str, List[Dict]]:
+    results: Dict[str, List[Dict]] = {}
+    for job, (pred, voxel_r, y_te_n) in zip(jobs, refits):
         off = 0
-        for r in members:
+        for r in job["members"]:
             v_r = col_slices[r].stop - col_slices[r].start
             sl = slice(off, off + v_r)
             off += v_r
@@ -331,13 +377,13 @@ def compute_encoding_scores_subject(
                 ci_low, ci_high = percentile_ci(scores)
                 bootstrap_scores_list = scores.tolist()
 
-            msg = f"    [{r}] Encoding  | {layer} = {point:.4f}"
+            msg = f"    [{r}] Encoding  | {job['layer']} = {point:.4f}"
             if bootstrap:
                 msg += f"  [95% CI: {ci_low:.4f}, {ci_high:.4f}]"
             rprint(msg, style="highlight")
 
             result = {
-                "layer": layer,
+                "layer": job["layer"],
                 "compare_method": "pearson",
                 "score": point,
                 "ci_low": ci_low,
@@ -348,5 +394,47 @@ def compute_encoding_scores_subject(
             if bootstrap_scores_list is not None:
                 result["bootstrap_scores"] = bootstrap_scores_list
             results[r] = [result]
-
     return results
+
+
+def compute_encoding_scores_subjects(
+    subject_inputs: Dict,
+    bootstrap: bool = True,
+    n_bootstrap: int = 1000,
+    seed: int = 42,
+    verbose: bool = False,
+    reconstruct_pca_k: int | None = None,
+    cv_precision: str = "highest",
+) -> Dict:
+    """Multi-subject encoding eval with CROSS-SUBJECT batched refits.
+
+    subject_inputs: {subject: (acts_train, acts_test, y_train, y_test)}.
+    Selection runs per subject (one stacked program each); then every
+    (subject, unique-layer) refit's full-train eigendecomposition runs
+    in ONE batched eigh (0.7 s/item vs 12 s solo on chip) before the
+    per-region assembly. Numbers are identical to per-subject calls.
+    Returns {subject: {region: [result]}}.
+    """
+    deferred = {}
+    for subj, (a_tr, a_te, y_tr, y_te) in subject_inputs.items():
+        rprint(f"\n  -- Subject: {subj} (all regions batched) --", style="info")
+        deferred[subj] = compute_encoding_scores_subject(
+            a_tr, a_te, y_tr, y_te, bootstrap=bootstrap,
+            n_bootstrap=n_bootstrap, seed=seed, verbose=verbose,
+            reconstruct_pca_k=reconstruct_pca_k, cv_precision=cv_precision,
+            _defer=True,
+        )
+
+    all_jobs = [j for d in deferred.values() for j in d["jobs"]]
+    refits = ridge_cv_refit_predict_grouped(all_jobs, precision=cv_precision)
+
+    out = {}
+    k = 0
+    for subj, d in deferred.items():
+        n_jobs = len(d["jobs"])
+        out[subj] = _assemble_subject_results(
+            d["jobs"], refits[k:k + n_jobs], d["selection"], d["bootstrap"],
+            d["boot_idx"], d["col_slices"],
+        )
+        k += n_jobs
+    return out

@@ -197,7 +197,10 @@ def stage_encoding_e2e(n_subjects=8, n_train=9000, n_test=1000, d=4096,
     import jax
     import jax.numpy as jnp
 
-    from visreps_tpu.analysis.encoding import compute_encoding_scores_subject
+    from visreps_tpu.analysis.encoding import (
+        compute_encoding_scores_subject,
+        compute_encoding_scores_subjects,
+    )
 
     # Device-resident fixture, generated on device (eval activations are
     # HBM-resident in the real pipeline — acts_store="device" — and the
@@ -216,17 +219,18 @@ def stage_encoding_e2e(n_subjects=8, n_train=9000, n_test=1000, d=4096,
             jax.random.fold_in(keys[3], 2 * r + 1), (n_test, v))
     jax.block_until_ready((y_tr, y_te))
 
-    # one subject as compile warmup, then time all subjects
+    # one subject as compile warmup, then time the multi-subject
+    # orchestrator (cross-subject batched refit eighs)
     compute_encoding_scores_subject(
         acts_tr, acts_te, y_tr, y_te, bootstrap=True, n_bootstrap=n_bootstrap,
         cv_precision=cv_precision,
     )
+    subject_inputs = {s: (acts_tr, acts_te, y_tr, y_te) for s in range(n_subjects)}
     t0 = time.perf_counter()
-    for _ in range(n_subjects):
-        compute_encoding_scores_subject(
-            acts_tr, acts_te, y_tr, y_te, bootstrap=True, n_bootstrap=n_bootstrap,
-            cv_precision=cv_precision,
-        )
+    compute_encoding_scores_subjects(
+        subject_inputs, bootstrap=True, n_bootstrap=n_bootstrap,
+        cv_precision=cv_precision,
+    )
     t = time.perf_counter() - t0
     return {"encoding_e2e_s": t, "per_subject_s": t / n_subjects,
             "n_pairs": n_subjects * len(voxels), "cv_precision": cv_precision}

@@ -116,7 +116,7 @@ class StimuliDataset:
         return self.transform(img), key
 
     def native_batch(self, idxs, n_threads: int = 16):
-        """C++ decode when every requested stimulus is a JPEG path."""
+        """C++ decode when every requested stimulus is a JPEG/PNG path."""
         spec = getattr(self.transform, "spec", None)
         if spec is None or spec["augment"] or not spec.get("normalize", True):
             return None
@@ -124,7 +124,7 @@ class StimuliDataset:
         for i in idxs:
             key = self.keys[i]
             val = self.stimuli[key]
-            if not isinstance(val, str) or not val.lower().endswith((".jpg", ".jpeg")):
+            if not isinstance(val, str) or not val.lower().endswith((".jpg", ".jpeg", ".png")):
                 return None
             keys.append(key)
             paths.append(val)
@@ -192,7 +192,7 @@ class LabeledDataset:
         paths, labels = [], []
         for i in idxs:
             path, label, _ = self.samples[i]
-            if not isinstance(path, str) or not path.lower().endswith((".jpg", ".jpeg")):
+            if not isinstance(path, str) or not path.lower().endswith((".jpg", ".jpeg", ".png")):
                 return None
             paths.append(path)
             labels.append(label)

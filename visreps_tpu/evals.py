@@ -475,7 +475,7 @@ def _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose,
     Falls back to the per-pair path when regions don't share stimulus
     sets or encoding_batched=false.
     """
-    from visreps_tpu.analysis.encoding import compute_encoding_scores_subject
+    from visreps_tpu.analysis.encoding import compute_encoding_scores_subjects
 
     neural = all_data["neural"]
     all_results = []
@@ -492,8 +492,8 @@ def _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose,
                 batched = False
                 break
         if batched:
+            subject_inputs = {}
             for subj in subjects:
-                rprint(f"\n  -- Subject: {subj} (all regions batched) --", style="info")
                 train_acts, _, train_ids = align_stimulus_level(
                     acts, neural[regions[0]][subj]["train"], ids
                 )
@@ -510,16 +510,17 @@ def _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose,
                                  for sid in test_ids])
                     for r in regions
                 }
-                per_region = compute_encoding_scores_subject(
-                    train_acts, test_acts, y_train, y_test,
-                    bootstrap=cfg.get("bootstrap", True),
-                    n_bootstrap=cfg.get("n_bootstrap", 1000),
-                    verbose=verbose, reconstruct_pca_k=pca_k,
-                    cv_precision=cfg.get("encoding_cv_precision", "highest"),
-                )
-                del train_acts, test_acts
+                subject_inputs[subj] = (train_acts, test_acts, y_train, y_test)
+            per_subject = compute_encoding_scores_subjects(
+                subject_inputs,
+                bootstrap=cfg.get("bootstrap", True),
+                n_bootstrap=cfg.get("n_bootstrap", 1000),
+                verbose=verbose, reconstruct_pca_k=pca_k,
+                cv_precision=cfg.get("encoding_cv_precision", "highest"),
+            )
+            for subj in subjects:
                 for region in regions:
-                    scores = per_region[region]
+                    scores = per_subject[subj][region]
                     if cfg.get("log_expdata"):
                         save_cfg = cfg.merge({"subject_idx": subj, "region": region})
                         save_results(scores, save_cfg)

@@ -28,7 +28,7 @@ def _build_lib() -> Path | None:
     _BUILD_DIR.mkdir(exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(so_path), "-ljpeg", "-lpthread",
+        str(_SRC), "-o", str(so_path), "-ljpeg", "-lpng", "-lpthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

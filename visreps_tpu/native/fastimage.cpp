@@ -1,4 +1,5 @@
-// fastimage: threaded JPEG decode + PIL-compatible resize + crop + normalize.
+// fastimage: threaded JPEG/PNG decode + PIL-compatible resize + crop +
+// normalize.
 //
 // The reference feeds ImageNet through torch DataLoader worker processes
 // doing PIL decode (visreps/dataloaders/obj_cls.py:249-269). This native
@@ -14,6 +15,7 @@
 #include <cstdio>
 
 #include <jpeglib.h>
+#include <png.h>
 
 #include <algorithm>
 #include <atomic>
@@ -91,6 +93,82 @@ bool decode_jpeg(const char* path, int min_side, bool fast_dct,
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
   return true;
+}
+
+// Decode a PNG file to tightly packed RGB8 (palette/gray/alpha/16-bit
+// inputs normalized via libpng transforms). NSD-Synthetic's 220 stimuli
+// are PNGs (reference: visreps/dataloaders/neural.py:192-241) — round 1
+// fell back to PIL for them.
+bool decode_png_file(const char* path, std::vector<unsigned char>& pixels,
+                     int& width, int& height) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  unsigned char header[8];
+  if (fread(header, 1, 8, f) != 8 || png_sig_cmp(header, 0, 8)) {
+    fclose(f);
+    return false;
+  }
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(f);
+    return false;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(f);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return false;
+  }
+  png_init_io(png, f);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  const png_byte color = png_get_color_type(png, info);
+  const png_byte depth = png_get_bit_depth(png, info);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  width = static_cast<int>(png_get_image_width(png, info));
+  height = static_cast<int>(png_get_image_height(png, info));
+  if (png_get_rowbytes(png, info) != static_cast<size_t>(width) * 3) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return false;
+  }
+  pixels.resize(static_cast<size_t>(width) * height * 3);
+  std::vector<png_bytep> rows(height);
+  for (int y = 0; y < height; ++y)
+    rows[y] = pixels.data() + static_cast<size_t>(y) * width * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(f);
+  return true;
+}
+
+// Magic-byte format sniff + dispatch. PNG has no DCT-domain scaling, so
+// it decodes full-size and relies on the resampler.
+bool decode_image(const char* path, int min_side, bool fast_dct,
+                  std::vector<unsigned char>& pixels, int& width, int& height) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  unsigned char magic[2] = {0, 0};
+  size_t got = fread(magic, 1, 2, f);
+  fclose(f);
+  if (got == 2 && magic[0] == 0x89 && magic[1] == 0x50)
+    return decode_png_file(path, pixels, width, height);
+  return decode_jpeg(path, min_side, fast_dct, pixels, width, height);
 }
 
 // PIL-compatible separable resampling with the BILINEAR (triangle)
@@ -184,7 +262,7 @@ void process_one(const char* path, int resize_short, int crop,
                  bool fast_dct, float* out) {
   std::vector<unsigned char> pixels;
   int w = 0, h = 0;
-  if (!decode_jpeg(path, resize_short, fast_dct, pixels, w, h) || w < 1 || h < 1) {
+  if (!decode_image(path, resize_short, fast_dct, pixels, w, h) || w < 1 || h < 1) {
     memset(out, 0, static_cast<size_t>(crop) * crop * 3 * sizeof(float));
     return;
   }

@@ -393,6 +393,88 @@ def ridge_cv_refit_predict(x_tr, y_tr, x_te, y_te, alphas=None,
 
 
 @jax.jit
+def _znormed_gram(x):
+    xn, _, _ = _znorm_cols(x)
+    return jax.lax.dot(xn.T, xn, precision=jax.lax.Precision.HIGHEST)
+
+
+@partial(jax.jit, static_argnames=("n_folds", "precision"))
+def _refit_from_eigh_impl(x_tr, x_te, y_tr, y_te, lam, v_eig, alphas, n_folds,
+                          precision):
+    """Refit given a precomputed eigh of the z-normed train Gram."""
+    hp = jax.lax.Precision.HIGHEST
+    x_tr, xm, xsd = _znorm_cols(x_tr)
+    x_te = (x_te - xm) / xsd
+    y_tr, ym, ysd = _znorm_cols(y_tr)
+    y_te = (y_te - ym) / ysd
+    c = jax.lax.dot(x_tr.T, y_tr, precision=hp)
+    cv = _wood_cv_scores(x_tr, y_tr, lam, v_eig, c, alphas, n_folds, precision)
+    best_alpha = alphas[jnp.argmax(cv, axis=0)]
+    b = jax.lax.dot(v_eig.T, c, precision=hp)
+    w = jax.lax.dot(v_eig, b / (lam[:, None] + best_alpha[None, :]), precision=hp)
+    pred = jax.lax.dot(x_te, w, precision=hp)
+    return pred, correlation_score(y_te, pred), y_te
+
+
+def ridge_cv_refit_predict_grouped(jobs, alphas=None, n_folds: int = 5,
+                                   solver: str = "auto",
+                                   precision: str = "highest"):
+    """Refit MANY (x_tr, y_tr, x_te, y_te) jobs with their full-train
+    eigendecompositions batched into one call.
+
+    eigh(4096) costs ~12 s solo but ~0.7 s/item batched on TPU; the
+    per-(subject, layer) refits across an eval sweep all share d, so
+    their Grams stack even when n differs. Jobs that fail the Woodbury
+    fold-rank gate fall back to the per-fold-eigh path individually.
+    Returns a list of (pred, voxel_r, y_te_normed) in job order.
+    """
+    if alphas is None:
+        alphas = default_alphas()
+    a = jnp.asarray(alphas, jnp.float32)
+
+    wood_idx = [i for i, j in enumerate(jobs)
+                if solver != "eigh" and (solver == "woodbury" or _woodbury_ok(
+                    j["x_tr"].shape[0], j["x_tr"].shape[1], n_folds))]
+    results: dict = {}
+
+    def _targets(j):
+        if "y_tr" in j:
+            return j["y_tr"], j["y_te"]
+        from visreps_tpu.analysis.encoding import _job_targets
+
+        return _job_targets(j)
+
+    if wood_idx:
+        gs = jnp.stack([
+            _znormed_gram(jnp.asarray(jobs[i]["x_tr"], jnp.float32))
+            for i in wood_idx
+        ])
+        lams, v_eigs = jnp.linalg.eigh(gs)
+        lams = jnp.maximum(lams, 0.0)
+        for k, i in enumerate(wood_idx):
+            j = jobs[i]
+            y_tr, y_te = _targets(j)
+            results[i] = _refit_from_eigh_impl(
+                jnp.asarray(j["x_tr"], jnp.float32),
+                jnp.asarray(j["x_te"], jnp.float32),
+                jnp.asarray(y_tr, jnp.float32),
+                jnp.asarray(y_te, jnp.float32),
+                lams[k], v_eigs[k], a, n_folds, _PRECISIONS[precision],
+            )
+
+    for i, j in enumerate(jobs):
+        if i in results:
+            continue
+        y_tr, y_te = _targets(j)
+        results[i] = _refit_predict_impl(
+            jnp.asarray(j["x_tr"], jnp.float32), jnp.asarray(j["x_te"], jnp.float32),
+            jnp.asarray(y_tr, jnp.float32), jnp.asarray(y_te, jnp.float32),
+            a, n_folds, _PRECISIONS[precision], False,
+        )
+    return [results[i] for i in range(len(jobs))]
+
+
+@jax.jit
 def correlation_score(y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
     """Per-column (voxel) Pearson r — himalaya.scoring.correlation_score."""
     yt = y_true - y_true.mean(axis=0, keepdims=True)

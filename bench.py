@@ -1,17 +1,24 @@
-"""Benchmark: the BASELINE.json north-star workload on one TPU chip.
+"""Benchmark: the BASELINE.json north-star workload, MEASURED.
 
-Orchestrates isolated stage subprocesses (visreps_tpu/benchmarks/
-stages.py) so a device fault in one stage can't kill the benchmark,
-then prints ONE JSON line:
+Headline = wall-clock of the real `evals.eval` orchestration over the
+on-disk full-scale NSD fixture (73k stimuli through LazyHdf5Dict +
+transforms + uint8 H2D, 8 subjects x 6 regions two-phase RSA with
+1000-iteration bootstraps, results.db writes) on the attached TPU
+chip — see visreps_tpu/benchmarks/stages.py:stage_e2e_measured and
+benchmarks/fixture.py. Prints ONE JSON line:
 
-  {"metric": "nsd_e2e_73k_extract_plus_8subj_bootstrap_rsa",
-   "value": <projected seconds>, "unit": "s", "vs_baseline": 300/value}
+  {"metric": "nsd_e2e_measured_73k_8subj_bootstrap_rsa",
+   "value": <measured seconds>, "unit": "s", "vs_baseline": 300/value}
 
-Projection = 73k-image 14-tap AlexNet extraction + 48 (region,subject)
-layer selections + exact re-extraction + 48×1000-iter Spearman
-bootstraps, from measured stage throughputs. vs_baseline > 1 beats the
-driver's <5 min target. Stages use device-resident synthetic data (the
-TPU compute pipeline, not host JPEG decode).
+vs_baseline > 1 beats the driver's <5 min target (BASELINE.md north
+star; target hardware is v5e-8 — this measures 1 chip). Stage metrics
+(extraction/bootstrap/decode/H2D/encoding) are reported as extras. If
+the measured stage fails, falls back to the round-1 stage-composed
+projection and says so in the metric name.
+
+Each stage runs in an isolated subprocess so a device fault in one
+stage can't kill the benchmark (the remote-compile relay can wedge on
+a faulted client).
 """
 from __future__ import annotations
 
@@ -20,6 +27,7 @@ import subprocess
 import sys
 
 STAGE_TIMEOUT = 1200  # first compile on a cold remote-compile service is slow
+E2E_TIMEOUT = 7200    # fixture build (~14 GB, once) + measured run
 
 
 def run_stage(name: str, timeout: int = STAGE_TIMEOUT):
@@ -41,38 +49,63 @@ def run_stage(name: str, timeout: int = STAGE_TIMEOUT):
 
 
 def main():
+    e2e = run_stage("e2e_measured", timeout=E2E_TIMEOUT)
+
     extract = run_stage("extract")
-    rdm = run_stage("rdm")
     boot = run_stage("bootstrap")
+    kendall = run_stage("bootstrap_kendall")
     select = run_stage("selection_device")
     pallas = run_stage("rdm_pallas")
+    rdm = run_stage("rdm")
+    decode = run_stage("decode", timeout=1800)
+    h2d = run_stage("h2d")
+    encoding = run_stage("encoding_e2e", timeout=3600)
 
     extras = {}
     ips = extract["images_per_sec"] if extract else float("nan")
     extras["extract_images_per_sec_per_chip"] = round(ips, 1) if extract else None
-    extras["rdm_10kx10k_ms"] = round(rdm["rdm_ms"], 1) if rdm else None
     bps = boot["bootstraps_per_sec"] if boot else float("nan")
     extras["rsa_bootstraps_per_sec"] = round(bps, 1) if boot else None
+    if kendall:
+        extras["kendall_bootstraps_per_sec"] = round(kendall["bootstraps_per_sec"], 1)
     t_sel = select["selection_s"] if select else float("nan")
     extras["layer_selection_s_per_subject"] = round(t_sel, 3) if select else None
+    if rdm:
+        extras["rdm_10kx10k_ms"] = round(rdm["rdm_ms"], 1)
     if pallas:
         extras["rdm_pallas_bf16_ms"] = round(pallas["rdm_pallas_bf16_ms"], 1)
         extras["rdm_pallas_f32_ms"] = round(pallas["rdm_pallas_f32_ms"], 1)
+    if decode:
+        extras["host_decode_images_per_sec"] = round(decode["decode_images_per_sec"], 1)
+    if h2d:
+        extras["h2d_MB_per_s"] = round(h2d["h2d_MB_per_s"], 1)
+    if encoding:
+        extras["encoding_48pair_full_nsd_s"] = round(encoding["encoding_e2e_s"], 1)
 
-    n_stimuli, n_pairs, n_boot = 73000, 48, 1000
-    e2e = (
-        n_stimuli / ips            # one SRP extraction pass over all stimuli
-        + n_pairs * t_sel          # phase-1 selection per (region, subject)
-        + 5 * 1000 / ips           # exact re-extraction, ~5 unique layers
-        + n_pairs * n_boot / bps   # phase-2 bootstrap CIs
-    )
+    if e2e:
+        metric = "nsd_e2e_measured_73k_8subj_bootstrap_rsa"
+        value = e2e["e2e_measured_s"]
+        extras["n_results_rows"] = e2e.get("db_rows")
+        extras["n_stimuli"] = e2e.get("n_stimuli")
+        extras["measured"] = True
+    else:
+        # Fallback: stage-composed projection (round-1 formula), clearly labeled.
+        metric = "nsd_e2e_PROJECTED_73k_8subj_bootstrap_rsa"
+        n_stimuli, n_pairs, n_boot = 73000, 48, 1000
+        value = (
+            n_stimuli / ips
+            + n_pairs * t_sel
+            + 5 * 1000 / ips
+            + n_pairs * n_boot / bps
+        )
+        extras["measured"] = False
 
-    ok = e2e == e2e  # NaN check
+    ok = value == value  # NaN check
     out = {
-        "metric": "nsd_e2e_73k_extract_plus_8subj_bootstrap_rsa",
-        "value": round(e2e, 2) if ok else -1,
+        "metric": metric,
+        "value": round(value, 2) if ok else -1,
         "unit": "s",
-        "vs_baseline": round(300.0 / e2e, 3) if ok and e2e > 0 else 0.0,
+        "vs_baseline": round(300.0 / value, 3) if ok and value > 0 else 0.0,
         **extras,
     }
     print(json.dumps(out))

@@ -46,3 +46,59 @@ class TestStages:
             a, b = np.asarray(o32[k]), np.asarray(o16[k])
             denom = np.abs(a).mean() + 1e-6
             assert np.abs(a - b).mean() / denom < 0.1
+
+
+class TestMeasuredE2E:
+    """Tiny-scale smoke of the measured-headline bench path (CPU).
+
+    bench.py's headline stage (stage_e2e_measured) runs the REAL
+    evals.eval over the on-disk fixture; this exercises the identical
+    code path at toy scale so a full-scale TPU run can't fail on logic.
+    """
+
+    def _tiny_fixture(self, tmp_path, monkeypatch):
+        from visreps_tpu.benchmarks import fixture as fx
+
+        monkeypatch.setattr(fx, "FIXTURE_DIR", tmp_path / "fx")
+        monkeypatch.setattr(fx, "N_SHARED", 12)
+        monkeypatch.setattr(fx, "N_UNIQUE", 20)
+        monkeypatch.setattr(fx, "N_SUBJECTS", 2)
+        monkeypatch.setattr(fx, "REGIONS", ["early", "V1"])
+        monkeypatch.setattr(fx, "N_VOXELS", 8)
+        monkeypatch.setattr(fx, "N_STIMULI", 12 + 2 * 20)
+        monkeypatch.setattr(fx, "IMG_SIZE", 64)
+        monkeypatch.setattr(fx, "N_JPEG", 6)
+        return fx
+
+    def test_e2e_measured_tiny(self, tmp_path, monkeypatch):
+        import os
+
+        import visreps_tpu.core.db as db
+        import visreps_tpu.data.neural as neural_mod
+        import visreps_tpu.evals as evals
+
+        self._tiny_fixture(tmp_path, monkeypatch)
+        # record originals so the stage's in-place redirects are undone
+        monkeypatch.setenv("NSD_DATA_DIR", os.environ.get("NSD_DATA_DIR", ""))
+        monkeypatch.setattr(neural_mod, "NSD_STIMULI_HDF5",
+                            neural_mod.NSD_STIMULI_HDF5)
+        monkeypatch.setattr(db, "RESULTS_DB_PATH", db.RESULTS_DB_PATH)
+        monkeypatch.setattr(evals, "RESULTS_DB_PATH", evals.RESULTS_DB_PATH)
+
+        out = stages.stage_e2e_measured(
+            batch_size=16, num_workers=2, n_bootstrap=8, n_select=10,
+            srp_k=64)
+        assert out["n_stimuli"] == 52
+        assert out["n_results"] == 4  # 2 subjects x 2 regions
+        assert out["db_rows"] >= 4
+        assert out["e2e_measured_s"] > 0
+
+    def test_decode_stage_tiny(self, tmp_path, monkeypatch):
+        self._tiny_fixture(tmp_path, monkeypatch)
+        out = stages.stage_decode(n_images=6, num_workers=2, batch_size=4)
+        assert out["n_images"] == 6
+        assert out["decode_images_per_sec"] > 0
+
+    def test_h2d_stage(self):
+        out = stages.stage_h2d(batch_size=4, iters=2)
+        assert out["h2d_MB_per_s"] > 0

@@ -30,14 +30,23 @@ import numpy as np
 
 FIXTURE_DIR = Path(os.environ.get("VISREPS_BENCH_FIXTURE",
                                   "/root/.cache/visreps_bench_fixture"))
-N_SHARED = 1000
-N_UNIQUE = 9000
-N_SUBJECTS = 8
-REGIONS = ["early", "ventral", "V1", "V2", "V3", "hV4"]
-N_VOXELS = 512
-N_STIMULI = N_SHARED + N_SUBJECTS * N_UNIQUE  # 73000
-IMG_SIZE = 256
-N_JPEG = 8192
+
+
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, default))
+
+
+# Scale knobs (env-overridable so CI can smoke the measured-e2e path at
+# tiny scale; the defaults are the BASELINE.md workload).
+N_SHARED = _env_int("VISREPS_BENCH_N_SHARED", 1000)
+N_UNIQUE = _env_int("VISREPS_BENCH_N_UNIQUE", 9000)
+N_SUBJECTS = _env_int("VISREPS_BENCH_N_SUBJECTS", 8)
+REGIONS = ["early", "ventral", "V1", "V2", "V3", "hV4"][
+    : _env_int("VISREPS_BENCH_N_REGIONS", 6)]
+N_VOXELS = _env_int("VISREPS_BENCH_N_VOXELS", 512)
+N_STIMULI = N_SHARED + N_SUBJECTS * N_UNIQUE  # 73000 at default scale
+IMG_SIZE = _env_int("VISREPS_BENCH_IMG_SIZE", 256)
+N_JPEG = _env_int("VISREPS_BENCH_N_JPEG", 8192)
 
 
 def _write_hdf5(path: Path):
@@ -95,7 +104,16 @@ def ensure_fixture() -> dict:
     jpeg_dir = FIXTURE_DIR / "jpeg"
 
     if meta_path.exists() and h5.exists() and pkl.exists():
-        return json.loads(meta_path.read_text())
+        meta = json.loads(meta_path.read_text())
+        same_scale = (
+            meta.get("n_stimuli") == N_STIMULI
+            and meta.get("n_subjects") == N_SUBJECTS
+            and meta.get("regions") == REGIONS
+            and meta.get("n_voxels_per_region") == N_VOXELS
+            and meta.get("img_size") == IMG_SIZE
+        )
+        if same_scale:
+            return meta
 
     t0 = time.time()
     _write_hdf5(h5)

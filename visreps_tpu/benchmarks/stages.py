@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -236,7 +237,8 @@ def stage_encoding_e2e(n_subjects=8, n_train=9000, n_test=1000, d=4096,
             "n_pairs": n_subjects * len(voxels), "cv_precision": cv_precision}
 
 
-def stage_e2e_measured(batch_size=256, num_workers=16, n_bootstrap=1000):
+def stage_e2e_measured(batch_size=256, num_workers=16, n_bootstrap=1000,
+                       n_select=1000, model_name="AlexNet", srp_k=4096):
     """MEASURED wall-clock of the BASELINE.md north-star workload.
 
     Runs the real `evals.eval` orchestration — real HDF5 loader (73k
@@ -264,17 +266,17 @@ def stage_e2e_measured(batch_size=256, num_workers=16, n_bootstrap=1000):
     db.RESULTS_DB_PATH = Path(tmp) / "results.db"
     evals.RESULTS_DB_PATH = db.RESULTS_DB_PATH
 
+    pkl_to_full = {v: k for k, v in neural_mod._NSD_REGION_MAP.items()}
     cfg = Config({
         "mode": "eval", "seed": 1, "neural_dataset": "nsd",
         "subject_idx": list(range(meta["n_subjects"])),
-        "region": ["early visual stream", "ventral visual stream",
-                   "V1", "V2", "V3", "hV4"],
+        "region": [pkl_to_full[r] for r in meta["regions"]],
         "analysis": "rsa", "compare_method": "spearman",
-        "bootstrap": True, "n_bootstrap": n_bootstrap, "n_select": 1000,
+        "bootstrap": True, "n_bootstrap": n_bootstrap, "n_select": n_select,
         "batchsize": batch_size, "num_workers": num_workers,
-        "load_model_from": "torchvision", "model_name": "AlexNet",
+        "load_model_from": "torchvision", "model_name": model_name,
         "pretrained_dataset": "none", "extract_pre_and_post": True,
-        "srp_k": 4096, "uint8_transfer": True, "log_expdata": True,
+        "srp_k": srp_k, "uint8_transfer": True, "log_expdata": True,
     })
     cfg.epoch = -1
     cfg.cfg_id = "untrained"

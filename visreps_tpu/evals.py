@@ -178,6 +178,10 @@ def eval(cfg: Config, mesh=None):
         est_bytes = 2 * len(stimuli) * sum(extractor.out_dims().values())
         store = "device" if (_jax.default_backend() != "cpu" and est_bytes < 9e9) else "host"
     acts, ids = extractor.get_activations(dl, store=store)
+    # SRP matrices are no longer needed (phase 2 re-extracts exact
+    # single layers); at 73k device-store scale their ~3.7 GB of HBM is
+    # the difference between fitting and OOM on a 16 GB chip.
+    extractor.free_projection_cache()
     rprint("  Activations extracted once for all subjects/regions", style="success")
 
     analysis = cfg.get("analysis", "rsa").lower()

@@ -179,7 +179,11 @@ class FeatureExtractor:
         present — GSPMD then propagates the batch sharding through the
         forward and SRP matmuls (collectives ride ICI)."""
         if self._batch_sharding is not None:
-            return jax.device_put(jnp.asarray(x), self._batch_sharding)
+            # multi-host safe: under >1 process, x is this host's shard
+            # of the global batch (parallel/feed.py)
+            from visreps_tpu.parallel.feed import put_global_batch
+
+            return put_global_batch(x, self.mesh)
         return jnp.asarray(x)
 
     # ── bulk extraction with SRP ─────────────────────────────────
@@ -221,13 +225,29 @@ class FeatureExtractor:
         if pending is not None:
             drain(pending)
 
+        del proj, pending
         cat = jnp.concatenate if store == "device" else np.concatenate
-        acts = {name: cat(parts, axis=0) for name, parts in chunks.items() if parts}
+        # Concatenate tap by tap, dropping each tap's chunk list as it
+        # is consumed: transient peak = resident acts + ONE tap, not 2x
+        # the full store (73k-scale device store is ~8.4 GB — doubling
+        # it OOMs a 16 GB v5e chip).
+        acts = {}
+        for name in list(chunks):
+            parts = chunks.pop(name)
+            if parts:
+                acts[name] = cat(parts, axis=0)
         rprint(
             f"  SRP activations: {len(acts)} taps x {len(ids)} stimuli ({store})",
             style="success",
         )
         return acts, ids
+
+    def free_projection_cache(self):
+        """Drop the HBM-resident SRP matrices (~3.7 GB at AlexNet
+        scale). They regenerate from the seed on the next use, so this
+        is safe to call once bulk SRP extraction is done — phase-2
+        exact re-extraction never touches them."""
+        self.srp._cache.clear()
 
     # ── exact single-layer re-extraction (no SRP) ────────────────
     def extract_single_layer(self, loader: Iterable, layer_name: str, stimulus_ids=None):

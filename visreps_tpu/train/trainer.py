@@ -182,10 +182,14 @@ class Trainer:
         rprint(f"Resumed from epoch {epoch} ({path})", style="success")
 
     def _put(self, x):
+        if self._data_sharding is not None:
+            # multi-host safe: under >1 process, x is this host's shard
+            # of the global batch (parallel/feed.py)
+            from visreps_tpu.parallel.feed import put_global_batch
+
+            return put_global_batch(x, self.mesh)
         if not isinstance(x, jax.Array):
             x = jnp.asarray(np.asarray(x))
-        if self._data_sharding is not None:
-            x = jax.device_put(x, self._data_sharding)
         return x
 
     def evaluate(self, split: str = "test"):

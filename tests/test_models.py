@@ -141,3 +141,27 @@ class TestReturnNodeExpansion:
         points, alias = expand_return_nodes(state.module, ["conv1", "fc1"], extract_pre_and_post=False)
         assert points == ["conv1_post", "fc1_post"]
         assert alias == {"conv1_post": "conv1", "fc1_post": "fc1"}
+
+
+class TestMultiLayerExact:
+    def test_matches_single_layer(self):
+        """extract_layers_exact == per-layer extract_single_layer."""
+        import numpy as np
+
+        from visreps_tpu.models.extractor import FeatureExtractor
+        from visreps_tpu.models.zoo import init_model
+
+        rng = np.random.RandomState(3)
+        state = init_model("TinyCustomCNN", 8, seed=0)
+        ex = FeatureExtractor(state, return_nodes=["conv5", "fc1"], srp_k=16,
+                              batch_size=4, image_size=64)
+        batches = [(rng.randn(4, 64, 64, 3).astype(np.float32),
+                    [f"s{i}_{j}" for j in range(4)]) for i in range(3)]
+        layers = ["conv5_post", "fc1_pre"]
+        sids = [f"s{i}_{j}" for i in (2, 0) for j in (1, 3)]  # reorder+filter
+        multi, ids_m = ex.extract_layers_exact(iter(batches), layers, sids)
+        assert ids_m == sids
+        for layer in layers:
+            single, ids_s = ex.extract_single_layer(iter(batches), layer, sids)
+            assert ids_s == ids_m
+            np.testing.assert_allclose(multi[layer], single, rtol=1e-6)

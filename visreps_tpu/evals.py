@@ -301,10 +301,15 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
 
     unique_layers = sorted({l for rl in per_region_layers.values() for l in rl.values()})
     pca_k = cfg.get("pca_k", 1)
+    # One pass over the test stimuli computes every unique selected
+    # layer (reference re-extracts per layer, evals.py:286-301 — that
+    # multiplies the host decode + H2D cost by the layer count).
+    rprint(f"  Re-extracting {len(unique_layers)} unique layers (one pass)...",
+           style="info")
+    exact_all, _ = extractor.extract_layers_exact(dl_test, unique_layers, shared_test_ids)
     model_rdms = {}
     for layer in unique_layers:
-        rprint(f"  Re-extracting {layer} without SRP...", style="info")
-        exact_acts, _ = extractor.extract_single_layer(dl_test, layer, shared_test_ids)
+        exact_acts = exact_all.pop(layer)
         if cfg.get("reconstruct_from_pcs"):
             exact_acts = np.asarray(reconstruct_from_pcs({layer: exact_acts}, pca_k)[layer])
             rprint(f"    Reconstructed from {pca_k} PCs", style="info")
@@ -414,10 +419,12 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh=None) -> List[
 
     unique_layers = sorted({l for rl in best_layers.values() for l in rl.values()})
     pca_k = cfg.get("pca_k", 1)
+    rprint(f"  Extracting {len(unique_layers)} unique layers (one pass)...",
+           style="info")
+    exact_all, _ = extractor.extract_layers_exact(dl_test, unique_layers, test_ids)
     model_rdms = {}
     for layer in unique_layers:
-        rprint(f"  Extracting {layer} without SRP...", style="info")
-        exact_acts, _ = extractor.extract_single_layer(dl_test, layer, test_ids)
+        exact_acts = exact_all.pop(layer)
         if cfg.get("reconstruct_from_pcs"):
             exact_acts = np.asarray(reconstruct_from_pcs({layer: exact_acts}, pca_k)[layer])
         model_rdms[layer] = _rdm(exact_acts, mesh, cfg)

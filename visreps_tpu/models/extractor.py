@@ -157,6 +157,19 @@ class FeatureExtractor:
 
         self._single_step = jax.jit(_single_step, static_argnames=("point",))
 
+        def _multi_step(variables, x, points):
+            if x.dtype == jnp.uint8:
+                x = (x.astype(jnp.float32) / 255.0 - norm_mean) / norm_std
+            _, taps = module.apply(variables, x, train=False, capture=points)
+            return {
+                p: taps[p].reshape(taps[p].shape[0], -1).astype(jnp.float32)
+                for p in points
+            }
+
+        # jit caches per distinct `points` tuple, so repeated phase-2
+        # calls with the same layer set compile once.
+        self._multi_step = jax.jit(_multi_step, static_argnames=("points",))
+
     # ── projection matrices (built once, HBM-resident) ──────────
     def _proj_dict(self):
         proj = {name: self.srp.matrix(d) for name, d in self.tap_dims.items()}
@@ -241,6 +254,60 @@ class FeatureExtractor:
             style="success",
         )
         return acts, ids
+
+    def extract_layers_exact(self, loader: Iterable, layer_names, stimulus_ids=None):
+        """Full-resolution activations for SEVERAL taps in ONE pass.
+
+        Phase-2 re-extraction in the reference runs one forward pass
+        per unique selected layer (evals.py:286-301) — on TPU terminals
+        the pixel upload dominates, so re-reading/re-uploading the test
+        stimuli per layer multiplies the H2D cost by the layer count.
+        One pass computing every requested tap pays it once.
+        Returns ({layer_name: (N, D_layer) np.float32}, ids).
+        """
+        point_of = {}
+        for name in layer_names:
+            for p in self.points:
+                if self.alias[p] == name or p == name:
+                    point_of[name] = p
+                    break
+            else:
+                raise KeyError(
+                    f"Layer {name!r} not among extraction points {self.points}")
+        points = tuple(dict.fromkeys(point_of.values()))
+
+        parts: dict[str, list] = {p: [] for p in points}
+        all_ids: list = []
+        pending = None
+        for x, keys in loader:
+            all_ids.extend(keys)
+            xp, n = self._pad(np.asarray(x))
+            cur = (self._multi_step(self.state.variables, self._to_device(xp), points), n)
+            if pending is not None:
+                host = jax.device_get(pending[0])
+                for p in points:
+                    parts[p].append(host[p][: pending[1]])
+            pending = cur
+        if pending is not None:
+            host = jax.device_get(pending[0])
+            for p in points:
+                parts[p].append(host[p][: pending[1]])
+
+        acts = {}
+        keep = None
+        if stimulus_ids is not None:
+            id_to_idx = {str(k): i for i, k in enumerate(all_ids)}
+            keep = [id_to_idx[str(s)] for s in stimulus_ids if str(s) in id_to_idx]
+            all_ids = [all_ids[i] for i in keep]
+        for name, p in point_of.items():
+            a = np.concatenate(parts[p], axis=0)
+            acts[name] = a[keep] if keep is not None else a
+        rprint(
+            f"  Re-extracted {len(acts)} layers in one pass "
+            f"({len(all_ids)} stimuli, exact, no SRP)",
+            style="success",
+        )
+        return acts, all_ids
 
     def free_projection_cache(self):
         """Drop the HBM-resident SRP matrices (~3.7 GB at AlexNet

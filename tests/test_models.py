@@ -165,3 +165,24 @@ class TestMultiLayerExact:
             single, ids_s = ex.extract_single_layer(iter(batches), layer, sids)
             assert ids_s == ids_m
             np.testing.assert_allclose(multi[layer], single, rtol=1e-6)
+
+    def test_device_store_matches_host(self):
+        import numpy as np
+
+        from visreps_tpu.models.extractor import FeatureExtractor
+        from visreps_tpu.models.zoo import init_model
+
+        rng = np.random.RandomState(4)
+        state = init_model("TinyCustomCNN", 8, seed=0)
+        ex = FeatureExtractor(state, return_nodes=["fc1"], srp_k=16,
+                              batch_size=4, image_size=64)
+        batches = [(rng.randn(4, 64, 64, 3).astype(np.float32),
+                    [f"s{i}_{j}" for j in range(4)]) for i in range(2)]
+        sids = ["s1_2", "s0_0"]
+        host, ids_h = ex.extract_layers_exact(iter(batches), ["fc1_post"], sids,
+                                              store="host")
+        dev, ids_d = ex.extract_layers_exact(iter(batches), ["fc1_post"], sids,
+                                             store="device")
+        assert ids_h == ids_d == sids
+        np.testing.assert_allclose(np.asarray(dev["fc1_post"]),
+                                   host["fc1_post"], rtol=1e-6)

@@ -114,3 +114,62 @@ class TestKendallTauA:
         y = np.array([1.0, 2.0, 3.0, 4.0])
         # pairs: (0,1) tie-x, (2,3) tie-x, others concordant → C=4, D=0, n0=6
         np.testing.assert_allclose(float(kendall_tau_a(x, y)), 4.0 / 6.0, atol=1e-6)
+
+
+class TestTieSemantics:
+    """VERDICT weak #4: quantify dense-rank vs average-tie Spearman on
+    realistic RDMs with clamp-induced exact ties, and pin the default
+    used for point scores to scipy semantics."""
+
+    def _tied_rdm_pair(self, rng, n=60, dup=6):
+        from visreps_tpu.ops.rdm import compute_rdm
+
+        # duplicate rows -> corr ~1; snap the residual float noise so
+        # the cells are EXACT ties at 0, as jnp.clip produces when the
+        # correlation saturates
+        x = rng.randn(n, 24).astype(np.float32)
+        x[:dup] = x[0]
+        y = x + 0.3 * rng.randn(n, 24).astype(np.float32)
+        y[:dup] = y[0]
+        r1 = np.asarray(compute_rdm(x))
+        r2 = np.asarray(compute_rdm(y))
+        return (np.where(r1 < 1e-5, 0.0, r1), np.where(r2 < 1e-5, 0.0, r2))
+
+    def test_default_spearman_matches_scipy_with_ties(self, rng):
+        import scipy.stats
+
+        from visreps_tpu.ops.rdm import compute_rdm_correlation, upper_triangle
+
+        r1, r2 = self._tied_rdm_pair(rng)
+        v1, v2 = np.asarray(upper_triangle(r1)), np.asarray(upper_triangle(r2))
+        assert (v1 == 0.0).sum() > 10  # ties present
+        ours = compute_rdm_correlation(r1, r2, "spearman")
+        ref = scipy.stats.spearmanr(v1, v2).statistic
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_dense_deviation_bounded_on_clamp_ties(self, rng):
+        """The bootstrap fast path's dense-rank approximation deviates
+        from scipy only via tied cells; on realistic clamp-tie density
+        (~1% of pairs) the deviation stays in the 4th decimal."""
+        import scipy.stats
+
+        from visreps_tpu.ops.rdm import upper_triangle
+        from visreps_tpu.ops.stats import spearman_corr_dense
+
+        devs = []
+        for trial in range(5):
+            r1, r2 = self._tied_rdm_pair(rng, n=80, dup=8)
+            v1, v2 = np.asarray(upper_triangle(r1)), np.asarray(upper_triangle(r2))
+            dense = float(spearman_corr_dense(v1, v2))
+            ref = scipy.stats.spearmanr(v1, v2).statistic
+            devs.append(abs(dense - ref))
+        # ~1% tied cells (28 of 3160 pairs tied at 0)
+        assert max(devs) < 5e-3, devs
+
+    def test_dense_equals_exact_without_ties(self, rng):
+        from visreps_tpu.ops.stats import spearman_corr, spearman_corr_dense
+
+        v1 = rng.randn(500).astype(np.float64)
+        v2 = rng.randn(500).astype(np.float64)
+        np.testing.assert_allclose(float(spearman_corr_dense(v1, v2)),
+                                   float(spearman_corr(v1, v2)), atol=1e-6)

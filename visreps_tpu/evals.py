@@ -306,7 +306,11 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
     # multiplies the host decode + H2D cost by the layer count).
     rprint(f"  Re-extracting {len(unique_layers)} unique layers (one pass)...",
            style="info")
-    exact_all, _ = extractor.extract_layers_exact(dl_test, unique_layers, shared_test_ids)
+    import jax as _jax
+
+    exact_store = "device" if _jax.default_backend() != "cpu" else "host"
+    exact_all, _ = extractor.extract_layers_exact(
+        dl_test, unique_layers, shared_test_ids, store=exact_store)
     model_rdms = {}
     for layer in unique_layers:
         exact_acts = exact_all.pop(layer)
@@ -421,7 +425,11 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh=None) -> List[
     pca_k = cfg.get("pca_k", 1)
     rprint(f"  Extracting {len(unique_layers)} unique layers (one pass)...",
            style="info")
-    exact_all, _ = extractor.extract_layers_exact(dl_test, unique_layers, test_ids)
+    import jax as _jax
+
+    exact_store = "device" if _jax.default_backend() != "cpu" else "host"
+    exact_all, _ = extractor.extract_layers_exact(
+        dl_test, unique_layers, test_ids, store=exact_store)
     model_rdms = {}
     for layer in unique_layers:
         exact_acts = exact_all.pop(layer)

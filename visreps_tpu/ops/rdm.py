@@ -74,10 +74,16 @@ def upper_triangle(rdm: jnp.ndarray) -> jnp.ndarray:
 
 _CORR_FUNCS = {
     "pearson": pearson_corr,
-    # Dense-rank Σd² Spearman: scipy-identical on distinct values (the
-    # float-RDM case); compiles orders of magnitude faster on TPU. Use
-    # ops.stats.spearman_corr for exact average-tie handling.
-    "spearman": spearman_corr_dense,
+    # Point scores use scipy-exact average-tie Spearman: clamp-induced
+    # exact ties (jnp.clip(..., -1, 1) on degenerate rows) do occur in
+    # real RDMs, and the final reported score must match the
+    # reference's scipy.spearmanr bit-for-bit semantics. The dense-rank
+    # Σd² variant (scipy-identical on distinct values, compile-lean) is
+    # kept for throughput-critical inner loops (bootstrap fast path,
+    # vmapped layer selection) where tests/test_ops_stats.py
+    # quantifies its tie deviation.
+    "spearman": spearman_corr,
+    "spearman_dense": spearman_corr_dense,
     "spearman_exact": spearman_corr,
     "kendall": kendall_tau_a,
 }

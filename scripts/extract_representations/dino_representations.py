@@ -16,17 +16,10 @@ import numpy as np
 from scripts.extract_representations.utils import extract_and_save
 
 
-def main(argv=None):
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--model", default="facebook/dinov2-large")
-    parser.add_argument("--out", default="features_dino.npz")
-    parser.add_argument("--batch-size", type=int, default=128)
-    args = parser.parse_args(argv)
-
+def build_extract(model):
+    """Batch (N,H,W,3) -> CLS-token features. Split out from main so
+    offline tests can drive it with a config-initialized model."""
     import torch
-    from transformers import AutoModel
-
-    model = AutoModel.from_pretrained(args.model, local_files_only=True).eval()
 
     @torch.no_grad()
     def extract(batch):
@@ -34,7 +27,20 @@ def main(argv=None):
         out = model(pixel_values=t)
         return out.last_hidden_state[:, 0].numpy()  # CLS token
 
-    extract_and_save(extract, args.out, batch_size=args.batch_size)
+    return extract
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="facebook/dinov2-large")
+    parser.add_argument("--out", default="features_dino.npz")
+    parser.add_argument("--batch-size", type=int, default=128)
+    args = parser.parse_args(argv)
+
+    from transformers import AutoModel
+
+    model = AutoModel.from_pretrained(args.model, local_files_only=True).eval()
+    extract_and_save(build_extract(model), args.out, batch_size=args.batch_size)
 
 
 if __name__ == "__main__":

@@ -102,3 +102,76 @@ class TestResume:
         assert t2.start_epoch == 3
         t2.train()
         assert os.path.exists(os.path.join(ckdir, "checkpoint_epoch_3.pth"))
+
+
+class TestWandbIntegration:
+    """W&B sink smoke via an injected fake module (env has no wandb):
+    init kwargs, per-epoch log payloads incl. the pca_labels top-5
+    suppression, finish, and graceful degradation on init failure."""
+
+    class _FakeWandb:
+        def __init__(self):
+            self.init_kwargs = None
+            self.logged = []
+            self.finished = False
+
+        def init(self, **kw):
+            self.init_kwargs = kw
+
+        def log(self, payload):
+            self.logged.append(payload)
+
+        def finish(self):
+            self.finished = True
+
+    def _cfg(self, **kw):
+        from visreps_tpu.core.config import Config
+
+        base = {"use_wandb": True, "dataset": "tiny-imagenet", "seed": 1,
+                "model_name": "CustomCNN", "model_class": "custom_model",
+                "pca_labels": False}
+        base.update(kw)
+        return Config(base)
+
+    def test_logs_and_finish(self, tmp_path, monkeypatch):
+        import sys
+
+        from visreps_tpu.core.logging import MetricsLogger
+
+        fake = self._FakeWandb()
+        monkeypatch.setitem(sys.modules, "wandb", fake)
+        logger = MetricsLogger(self._cfg(), str(tmp_path))
+        assert logger.use_wandb and fake.init_kwargs["group"] == "seed_1"
+        logger.log_metrics(1, 2.5, {"test_acc": 0.4, "train_acc": 0.5,
+                                    "test_top5": 0.7, "train_top5": 0.8})
+        assert fake.logged[0]["training/test-acc"] == 0.4
+        assert "training/test-top5" in fake.logged[0]
+        logger.finish()
+        assert fake.finished
+        # CSV written alongside
+        assert (tmp_path / "training_metrics.csv").exists()
+
+    def test_pca_labels_suppresses_top5(self, tmp_path, monkeypatch):
+        import sys
+
+        from visreps_tpu.core.logging import MetricsLogger
+
+        fake = self._FakeWandb()
+        monkeypatch.setitem(sys.modules, "wandb", fake)
+        logger = MetricsLogger(self._cfg(pca_labels=True), str(tmp_path))
+        logger.log_metrics(1, 2.5, {"test_acc": 0.4, "test_top5": 0.7})
+        assert "training/test-top5" not in fake.logged[0]
+
+    def test_init_failure_degrades(self, tmp_path, monkeypatch):
+        import sys
+
+        from visreps_tpu.core.logging import MetricsLogger
+
+        class Broken:
+            def init(self, **kw):
+                raise RuntimeError("offline")
+
+        monkeypatch.setitem(sys.modules, "wandb", Broken())
+        logger = MetricsLogger(self._cfg(), str(tmp_path))
+        assert not logger.use_wandb
+        logger.log_metrics(1, 1.0, {"test_acc": 0.1})  # no crash

@@ -68,12 +68,15 @@ def _select_scores_batched(stacked, neural, method: str):
 
 
 def select_best_layer(acts: Dict[str, np.ndarray], neural: np.ndarray, method: str,
-                      sel_idx: np.ndarray | None = None, batched: bool = True):
+                      sel_idx: np.ndarray | None = None, batched: bool = True,
+                      fetch: bool = True):
     """Score every layer's RDM against the neural RDM; return scores.
 
     Same-width layers (the common case: every SRP tap is k-dim) run as
     one batched device program; mixed widths fall back to a pipelined
-    per-layer loop with a single host fetch.
+    per-layer loop with a single host fetch. ``fetch=False`` returns
+    (names, device_values) without synchronizing so multi-pair callers
+    can pipeline dispatches (finalize with ``scores_from_device``).
     """
     method = method.lower()
     if sel_idx is not None:
@@ -91,6 +94,8 @@ def select_best_layer(acts: Dict[str, np.ndarray], neural: np.ndarray, method: s
         vals = _select_scores_batched(
             jnp.asarray(stacker(mats)), jnp.asarray(neural), method
         )
+        if not fetch:
+            return names, vals
         for name, v in zip(names, np.asarray(vals)):
             scores[name] = float(v)
     else:
@@ -102,9 +107,17 @@ def select_best_layer(acts: Dict[str, np.ndarray], neural: np.ndarray, method: s
         corr_fn = _CORR[method]
         pending = [corr_fn(upper_triangle(compute_rdm(jnp.asarray(m))), tri_neural)
                    for m in mats]
+        if not fetch:
+            return names, pending
         for name, v in zip(names, jax.device_get(pending)):
             scores[name] = float(v)
     return scores
+
+
+def scores_from_device(names, vals) -> Dict[str, float]:
+    """Finalize a ``select_best_layer(..., fetch=False)`` result."""
+    host = jax.device_get(vals)
+    return {name: float(v) for name, v in zip(names, np.asarray(host))}
 
 
 def compute_rsa(

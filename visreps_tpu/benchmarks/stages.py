@@ -295,6 +295,7 @@ def stage_e2e_measured(batch_size=256, num_workers=16, n_bootstrap=1000,
         "n_stimuli": meta["n_stimuli"], "n_pairs": len(results),
         "n_voxels_per_region": meta["n_voxels_per_region"],
         "stimulus_hw": meta["img_size"],
+        **{f"phase_{k}": round(v, 1) for k, v in evals.LAST_PHASE_TIMES.items()},
     }
 
 

@@ -102,6 +102,13 @@ def _rdm(x, mesh, cfg) -> jnp.ndarray:
     return compute_rdm(x)
 
 
+# Wall-clock of the last eval's phases (model_load / data_load /
+# extraction / phase1_selection / phase2_extract / scoring), populated
+# by every NSD/TVSD RSA run — the bench surfaces it so regressions in
+# any one phase are visible without instrumenting anew.
+LAST_PHASE_TIMES: Dict[str, float] = {}
+
+
 # ───────────────────────── eval ──────────────────────────
 def eval(cfg: Config, mesh=None):
     """One forward pass, per-(subject, region) results. Reference: evals.py:74-218.
@@ -150,8 +157,14 @@ def eval(cfg: Config, mesh=None):
         style="info",
     )
 
+    from visreps_tpu.core.logging import Timer
+
+    timer = Timer()
+    LAST_PHASE_TIMES.clear()
+
     state = load_model(cfg, verbose=verbose)
     extractor = configure_feature_extractor(cfg, state, verbose=verbose, mesh=mesh)
+    LAST_PHASE_TIMES["model_load_s"] = timer.mark("model_load")
 
     if dataset == "nsd":
         all_data = load_all_nsd_data(cfg, subjects=subjects, regions=regions)
@@ -159,6 +172,7 @@ def eval(cfg: Config, mesh=None):
         all_data = load_all_tvsd_data(cfg, subjects=subjects, regions=regions)
     else:
         raise ValueError(f"Unsupported neural_dataset='{dataset}' for multi-subject eval")
+    LAST_PHASE_TIMES["data_load_s"] = timer.mark("data_load")
 
     stimuli = all_data["stimuli"]
     rprint(
@@ -182,6 +196,7 @@ def eval(cfg: Config, mesh=None):
     # single layers); at 73k device-store scale their ~3.7 GB of HBM is
     # the difference between fitting and OOM on a 16 GB chip.
     extractor.free_projection_cache()
+    LAST_PHASE_TIMES["extraction_s"] = timer.mark("extraction")
     rprint("  Activations extracted once for all subjects/regions", style="success")
 
     analysis = cfg.get("analysis", "rsa").lower()
@@ -257,39 +272,75 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
     shared_test_ids = all_data["shared_test_ids"]
     stimuli = all_data["stimuli"]
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
     # ── Phase 1: per-(region, subject) layer selection (SRP) ──
+    # The reference scores one pair at a time with a host sync each
+    # (evals.py:237-273). Here the selection programs are pipelined: a
+    # pair's 14-tap selection is DISPATCHED while earlier pairs are
+    # still computing, and results are fetched a few pairs behind —
+    # on relay-attached hosts each sync costs a full round trip. Only
+    # the ≤ n_select subsampled rows are gathered (indices composed
+    # before the gather), not the full per-subject train set.
+    from collections import deque
+
+    from visreps_tpu.analysis.rsa import scores_from_device
+
     rprint("\n  Phase 1: Per-subject layer selection", style="info")
     per_region_layers: Dict = {}
     per_region_scores: Dict = {}
     for region in regions:
         per_region_layers[region] = {}
         per_region_scores[region] = {}
-        for subj in subjects:
-            train_acts, train_neural, _ = align_stimulus_level(
-                acts, neural[region][subj]["train"], ids
-            )
-            n_train = train_neural.shape[0]
-            if n_select is not None and n_select < n_train:
-                rng_sel = np.random.RandomState(42)
-                sel_idx = rng_sel.choice(n_train, size=n_select, replace=False)
-            else:
-                sel_idx = np.arange(n_train)
 
-            scores = select_best_layer(train_acts, train_neural, method, sel_idx)
-            best = max(scores, key=lambda l: scores[l] if scores[l] == scores[l] else -np.inf)
-            per_region_layers[region][subj] = best
-            per_region_scores[region][subj] = [
-                {"layer": l, "score": s} for l, s in scores.items()
-            ]
-            if verbose:
-                rprint(
-                    f"    {region} subj {subj}: {best} ({scores[best]:.4f}), "
-                    f"{len(sel_idx)} stimuli for selection",
-                    style="info",
-                )
-            del train_acts, train_neural
+    sel_pending: deque = deque()
+
+    def _drain_selection():
+        region, subj, n_sel_used, names, vals = sel_pending.popleft()
+        scores = scores_from_device(names, vals)
+        best = max(scores, key=lambda l: scores[l] if scores[l] == scores[l] else -np.inf)
+        per_region_layers[region][subj] = best
+        per_region_scores[region][subj] = [
+            {"layer": l, "score": s} for l, s in scores.items()
+        ]
+        if verbose:
+            rprint(
+                f"    {region} subj {subj}: {best} ({scores[best]:.4f}), "
+                f"{n_sel_used} stimuli for selection",
+                style="info",
+            )
+
+    for region in regions:
+        for subj in subjects:
+            targets = neural[region][subj]["train"]
+            idx = [i for i, k in enumerate(ids) if str(k) in targets]
+            matched = [str(ids[i]) for i in idx]
+            n_train = len(matched)
+            if n_select is not None and n_select < n_train:
+                sel = np.random.RandomState(42).choice(n_train, size=n_select,
+                                                       replace=False)
+            else:
+                sel = np.arange(n_train)
+            rows = np.asarray(idx)[sel]
+            sel_neural = np.stack(
+                [np.asarray(targets[matched[i]], np.float32) for i in sel])
+            if sel_neural.ndim > 2:
+                sel_neural = sel_neural.squeeze()
+            sel_acts = {l: a[rows] for l, a in acts.items()}
+            names, vals = select_best_layer(sel_acts, sel_neural, method,
+                                            fetch=False)
+            sel_pending.append((region, subj, len(sel), names, vals))
+            if len(sel_pending) >= 4:
+                _drain_selection()
+            del sel_acts
+    while sel_pending:
+        _drain_selection()
 
     del acts
+    LAST_PHASE_TIMES["phase1_selection_s"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
     rprint("  Freed bulk SRP activations", style="success")
 
     # ── Phase 2: exact re-extraction on shared test stimuli ────
@@ -319,49 +370,78 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
             rprint(f"    Reconstructed from {pca_k} PCs", style="info")
         model_rdms[layer] = _rdm(exact_acts, mesh, cfg)
         del exact_acts
+    LAST_PHASE_TIMES["phase2_extract_s"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
 
     # ── Per-(region, subject) scoring + save ───────────────────
+    # Same pipelining as Phase 1: every pair's point score + bootstrap
+    # distribution is dispatched ahead (device handles only) and
+    # fetched a few pairs behind — 48 pairs' device time is seconds,
+    # but 48 serialized host syncs dominate on relay-attached hosts.
+    # Bootstrap index sets are identical across pairs (same n, seed 42
+    # per the protocol), so they are generated once.
+    boot_indices = None
+    if bootstrap and shared_test_ids:
+        from visreps_tpu.ops.bootstrap import bootstrap_indices
+
+        boot_indices = bootstrap_indices(len(shared_test_ids), n_bootstrap, seed=42)
+
+    score_pending: deque = deque()
     all_results = []
+
+    def _drain_score():
+        region, subj, best_layer, point_dev, boot_dev = score_pending.popleft()
+        point = float(point_dev)
+        ci_low = ci_high = None
+        bootstrap_scores_list = None
+        if boot_dev is not None:
+            boot = np.asarray(boot_dev, dtype=np.float64)
+            ci_low, ci_high = percentile_ci(boot)
+            bootstrap_scores_list = boot.tolist()
+
+        msg = f"    {region} subj {subj} | {method.capitalize():<10}| {best_layer} = {point:.4f}"
+        if boot_dev is not None:
+            msg += f"  [95% CI: {ci_low:.4f}, {ci_high:.4f}]"
+        rprint(msg, style="highlight")
+
+        result = {
+            "layer": best_layer,
+            "compare_method": method,
+            "score": point,
+            "ci_low": ci_low,
+            "ci_high": ci_high,
+            "analysis": "rsa",
+            "layer_selection_scores": per_region_scores[region][subj],
+        }
+        if bootstrap_scores_list is not None:
+            result["bootstrap_scores"] = bootstrap_scores_list
+        if cfg.get("log_expdata"):
+            save_cfg = cfg.merge({"subject_idx": subj, "region": region})
+            save_results([result], save_cfg)
+        all_results.append(result)
+
     for region in regions:
         rprint(f"\n  -- Region: {region} --", style="info")
         for subj in subjects:
             best_layer = per_region_layers[region][subj]
             neural_tensor = _neural_tensor(neural[region][subj]["test"], shared_test_ids)
             neural_rdm = _rdm(neural_tensor, mesh, cfg)
-            point = compute_rdm_correlation(model_rdms[best_layer], neural_rdm, correlation=method)
-
-            ci_low = ci_high = None
-            bootstrap_scores_list = None
+            point_dev = compute_rdm_correlation(
+                model_rdms[best_layer], neural_rdm, correlation=method, fetch=False)
+            boot_dev = None
             if bootstrap:
-                boot = bootstrap_rdm_correlation(
+                boot_dev = bootstrap_rdm_correlation(
                     model_rdms[best_layer], neural_rdm,
                     n_bootstrap=n_bootstrap, seed=42, method=method, mesh=mesh,
+                    indices=boot_indices, fetch=False,
                 )
-                ci_low, ci_high = percentile_ci(boot)
-                bootstrap_scores_list = boot.tolist()
+            score_pending.append((region, subj, best_layer, point_dev, boot_dev))
+            if len(score_pending) >= 8:
+                _drain_score()
+    while score_pending:
+        _drain_score()
 
-            msg = f"    subj {subj} | {method.capitalize():<10}| {best_layer} = {point:.4f}"
-            if bootstrap:
-                msg += f"  [95% CI: {ci_low:.4f}, {ci_high:.4f}]"
-            rprint(msg, style="highlight")
-
-            result = {
-                "layer": best_layer,
-                "compare_method": method,
-                "score": point,
-                "ci_low": ci_low,
-                "ci_high": ci_high,
-                "analysis": "rsa",
-                "layer_selection_scores": per_region_scores[region][subj],
-            }
-            if bootstrap_scores_list is not None:
-                result["bootstrap_scores"] = bootstrap_scores_list
-
-            if cfg.get("log_expdata"):
-                save_cfg = cfg.merge({"subject_idx": subj, "region": region})
-                save_results([result], save_cfg)
-            all_results.append(result)
-
+    LAST_PHASE_TIMES["scoring_bootstrap_s"] = _time.perf_counter() - _t0
     return all_results
 
 

@@ -180,8 +180,12 @@ def bootstrap_rdm_correlation(
     indices: np.ndarray | None = None,
     exact_ties: bool = False,
     mesh=None,
+    fetch: bool = True,
 ) -> np.ndarray:
     """Bootstrap distribution of RDM correlations (float64 numpy out).
+
+    ``fetch=False`` returns the device score array without
+    synchronizing, so multi-pair callers can pipeline dispatches.
 
     Spearman uses the sort-free rank-subset formulation by default
     (identical to scipy when sampled values are distinct; set
@@ -207,7 +211,7 @@ def bootstrap_rdm_correlation(
         )
     else:
         scores = _bootstrap_scores(rdm_model, rdm_neural, jnp.asarray(indices), method, chunk)
-    return np.asarray(scores, dtype=np.float64)
+    return np.asarray(scores, dtype=np.float64) if fetch else scores
 
 
 def percentile_ci(scores: np.ndarray, low: float = 2.5, high: float = 97.5):

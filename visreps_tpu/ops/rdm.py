@@ -90,18 +90,22 @@ _CORR_FUNCS = {
 
 
 def compute_rdm_correlation(
-    rdm1: jnp.ndarray, rdm2: jnp.ndarray, correlation: str = "kendall"
-) -> float:
+    rdm1: jnp.ndarray, rdm2: jnp.ndarray, correlation: str = "kendall",
+    fetch: bool = True,
+):
     """Correlation between two RDMs' upper triangles (device-native).
 
     Reference: visreps/analysis/rsa.py:96-129. Returns NaN when the
-    correlation is undefined (n ≤ 1 or zero variance).
+    correlation is undefined (n ≤ 1 or zero variance). ``fetch=False``
+    returns the 0-d device array without synchronizing — callers that
+    score many pairs dispatch them all and fetch once (each host sync
+    costs a full round trip on relay-attached hosts).
     """
     if rdm1.shape != rdm2.shape or rdm1.ndim != 2:
         raise ValueError("RDMs must share the same 2-D shape")
     n = rdm1.shape[0]
     if n <= 1:
-        return float("nan")
+        return float("nan") if fetch else jnp.float32(jnp.nan)
 
     corr = correlation.lower()
     if corr not in _CORR_FUNCS:
@@ -109,4 +113,5 @@ def compute_rdm_correlation(
 
     v1 = upper_triangle(rdm1)
     v2 = upper_triangle(rdm2)
-    return float(_CORR_FUNCS[corr](v1, v2))
+    out = _CORR_FUNCS[corr](v1, v2)
+    return float(out) if fetch else out

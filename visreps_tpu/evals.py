@@ -386,12 +386,28 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
 
         boot_indices = bootstrap_indices(len(shared_test_ids), n_bootstrap, seed=42)
 
+    # All 48 point scores run as ONE batched program (the per-pair
+    # rank transforms are latency-bound as 48 serial dispatches).
+    pair_list = [(r, s) for r in regions for s in subjects]
+    neural_rdms = {}
+    for region, subj in pair_list:
+        neural_tensor = _neural_tensor(neural[region][subj]["test"], shared_test_ids)
+        neural_rdms[(region, subj)] = _rdm(neural_tensor, mesh, cfg)
+    from visreps_tpu.ops.rdm import compute_rdm_correlation_batched
+
+    model_stack = jnp.stack(
+        [model_rdms[per_region_layers[r][s]] for r, s in pair_list])
+    neural_stack = jnp.stack([neural_rdms[k] for k in pair_list])
+    point_scores = np.asarray(
+        compute_rdm_correlation_batched(model_stack, neural_stack, method))
+    del model_stack, neural_stack
+    point_of_pair = {k: float(v) for k, v in zip(pair_list, point_scores)}
+
     score_pending: deque = deque()
     all_results = []
 
     def _drain_score():
-        region, subj, best_layer, point_dev, boot_dev = score_pending.popleft()
-        point = float(point_dev)
+        region, subj, best_layer, point, boot_dev = score_pending.popleft()
         ci_low = ci_high = None
         bootstrap_scores_list = None
         if boot_dev is not None:
@@ -420,24 +436,23 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
             save_results([result], save_cfg)
         all_results.append(result)
 
-    for region in regions:
-        rprint(f"\n  -- Region: {region} --", style="info")
-        for subj in subjects:
-            best_layer = per_region_layers[region][subj]
-            neural_tensor = _neural_tensor(neural[region][subj]["test"], shared_test_ids)
-            neural_rdm = _rdm(neural_tensor, mesh, cfg)
-            point_dev = compute_rdm_correlation(
-                model_rdms[best_layer], neural_rdm, correlation=method, fetch=False)
-            boot_dev = None
-            if bootstrap:
-                boot_dev = bootstrap_rdm_correlation(
-                    model_rdms[best_layer], neural_rdm,
-                    n_bootstrap=n_bootstrap, seed=42, method=method, mesh=mesh,
-                    indices=boot_indices, fetch=False,
-                )
-            score_pending.append((region, subj, best_layer, point_dev, boot_dev))
-            if len(score_pending) >= 8:
-                _drain_score()
+    last_region = None
+    for region, subj in pair_list:
+        if region != last_region:
+            rprint(f"\n  -- Region: {region} --", style="info")
+            last_region = region
+        best_layer = per_region_layers[region][subj]
+        boot_dev = None
+        if bootstrap:
+            boot_dev = bootstrap_rdm_correlation(
+                model_rdms[best_layer], neural_rdms[(region, subj)],
+                n_bootstrap=n_bootstrap, seed=42, method=method, mesh=mesh,
+                indices=boot_indices, fetch=False,
+            )
+        score_pending.append(
+            (region, subj, best_layer, point_of_pair[(region, subj)], boot_dev))
+        if len(score_pending) >= 8:
+            _drain_score()
     while score_pending:
         _drain_score()
 

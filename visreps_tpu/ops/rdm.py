@@ -115,3 +115,19 @@ def compute_rdm_correlation(
     v2 = upper_triangle(rdm2)
     out = _CORR_FUNCS[corr](v1, v2)
     return float(out) if fetch else out
+
+
+@partial(jax.jit, static_argnames=("correlation",))
+def compute_rdm_correlation_batched(rdms1: jnp.ndarray, rdms2: jnp.ndarray,
+                                    correlation: str = "spearman") -> jnp.ndarray:
+    """(P, n, n) x (P, n, n) → (P,) upper-triangle correlations.
+
+    One batched program for all P pairs: the rank transforms run as a
+    single batched sort instead of P serial dispatches (a multi-pair
+    eval's point scores are latency-bound, not FLOP-bound).
+    """
+    n = rdms1.shape[1]
+    iu, ju = jnp.triu_indices(n, k=1)
+    t1 = rdms1[:, iu, ju]
+    t2 = rdms2[:, iu, ju]
+    return jax.vmap(_CORR_FUNCS[correlation.lower()])(t1, t2)

@@ -93,7 +93,22 @@ def init_model(model_name: str, num_classes: int, seed: int = 0, cfg=None,
     module = _build_module(model_name, num_classes, cfg)
     size = input_size or (64 if "tiny" in model_name.lower() else 224)
     dummy = jnp.zeros((1, size, size, 3), jnp.float32)
-    variables = module.init(jax.random.PRNGKey(seed), dummy, train=False, capture=())
+    # Initialize on the host CPU backend when one exists alongside an
+    # accelerator: flax init compiles a full forward, and compiling it
+    # through a remote-compile relay costs ~30 s for params the first
+    # real jit call would place on device anyway.
+    init_device = None
+    try:
+        if jax.default_backend() != "cpu":
+            init_device = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        init_device = None
+    if init_device is not None:
+        with jax.default_device(init_device):
+            variables = module.init(jax.random.PRNGKey(seed), dummy,
+                                    train=False, capture=())
+    else:
+        variables = module.init(jax.random.PRNGKey(seed), dummy, train=False, capture=())
     return ModelState(
         module=module,
         params=variables["params"],

@@ -122,12 +122,15 @@ def compute_rdm_correlation_batched(rdms1: jnp.ndarray, rdms2: jnp.ndarray,
                                     correlation: str = "spearman") -> jnp.ndarray:
     """(P, n, n) x (P, n, n) → (P,) upper-triangle correlations.
 
-    One batched program for all P pairs: the rank transforms run as a
-    single batched sort instead of P serial dispatches (a multi-pair
-    eval's point scores are latency-bound, not FLOP-bound).
+    One program for all P pairs: P serial host dispatches become one.
+    lax.map (not vmap) on purpose — the remote-compile service chokes
+    for tens of minutes on batched sort graphs (vmapped average-tie
+    ranks), while lax.map compiles the single-pair body once and loops
+    it on device (48 x ~20 ms ≈ 1 s run time, compile-lean).
     """
     n = rdms1.shape[1]
     iu, ju = jnp.triu_indices(n, k=1)
     t1 = rdms1[:, iu, ju]
     t2 = rdms2[:, iu, ju]
-    return jax.vmap(_CORR_FUNCS[correlation.lower()])(t1, t2)
+    fn = _CORR_FUNCS[correlation.lower()]
+    return jax.lax.map(lambda ab: fn(ab[0], ab[1]), (t1, t2))

@@ -102,6 +102,37 @@ class TestDashboard:
         df = explore_results.run_sql("SELECT COUNT(*) AS n FROM results", db)
         assert df.n[0] == 4
 
+    def test_info_distinct_health_recent(self, tmp_path, capsys):
+        """Reference parity sections: db info, distinct values, health
+        checks, recent runs (scripts/explore_results.py:127-366)."""
+        from visreps_tpu import explore_results
+
+        db = tmp_path / "results.db"
+        _populate_db(db)
+
+        info = explore_results.db_info(db)
+        assert info["tables"]["results"] == 4
+        assert info["size_mb"] > 0 and info["date_range"][0]
+
+        distinct = explore_results.distinct_values(db)
+        assert distinct["neural_dataset"] == ["nsd"]
+        assert set(distinct["region"]) == {"V1"}
+        assert set(distinct["cfg_id"]) == {"2", "4"}
+
+        checks = explore_results.health(db)
+        assert checks["orphaned_results"] == 0
+        assert checks["null_scores"] == 0
+        assert checks["runs_without_bootstrap"] == 0
+
+        recent = explore_results.recent(3, db)
+        assert len(recent) == 3
+        assert "created_at" in recent.columns
+
+        # CLI 'all' renders every section without crashing
+        explore_results.main(["all", "--db", str(db)])
+        out = capsys.readouterr().out
+        assert "HEALTH" in out and "RECENT" in out
+
 
 class TestCoarseLabels:
     def test_pca_bit_labels_nested_hierarchy(self, rng):

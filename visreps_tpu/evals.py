@@ -533,45 +533,80 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh=None) -> List[
         model_rdms[layer] = _rdm(exact_acts, mesh, cfg)
         del exact_acts
 
+    # Pipelined pair scoring, same structure as _eval_rsa: batched
+    # point scores (one lax.map program), bootstrap dispatched ahead /
+    # fetched behind, shared index sets.
+    from collections import deque
+
+    from visreps_tpu.ops.bootstrap import bootstrap_indices
+    from visreps_tpu.ops.rdm import compute_rdm_correlation_batched
+
+    pair_list = [(r, s) for r in regions for s in subjects]
+    neural_rdms = {}
+    for region, subj in pair_list:
+        neural_tensor = _neural_tensor(test_data["neural"][region][subj], test_ids)
+        neural_rdms[(region, subj)] = _rdm(neural_tensor, mesh, cfg)
+    model_stack = jnp.stack([model_rdms[best_layers[r][s]] for r, s in pair_list])
+    neural_stack = jnp.stack([neural_rdms[k] for k in pair_list])
+    point_scores = np.asarray(
+        compute_rdm_correlation_batched(model_stack, neural_stack, method))
+    del model_stack, neural_stack
+    point_of_pair = {k: float(v) for k, v in zip(pair_list, point_scores)}
+
+    boot_indices = (bootstrap_indices(len(test_ids), n_bootstrap, seed=42)
+                    if bootstrap and test_ids else None)
+
     all_results = []
-    for region in regions:
-        rprint(f"\n  -- Region: {region} --", style="info")
-        for subj in subjects:
-            best_layer = best_layers[region][subj]
-            neural_tensor = _neural_tensor(test_data["neural"][region][subj], test_ids)
-            neural_rdm = _rdm(neural_tensor, mesh, cfg)
-            point = compute_rdm_correlation(model_rdms[best_layer], neural_rdm, correlation=method)
+    pending: deque = deque()
 
-            ci_low = ci_high = None
-            bootstrap_scores_list = None
-            if bootstrap:
-                boot = bootstrap_rdm_correlation(
-                    model_rdms[best_layer], neural_rdm,
-                    n_bootstrap=n_bootstrap, seed=42, method=method, mesh=mesh,
-                )
-                ci_low, ci_high = percentile_ci(boot)
-                bootstrap_scores_list = boot.tolist()
+    def _drain():
+        region, subj, best_layer, point, boot_dev = pending.popleft()
+        ci_low = ci_high = None
+        bootstrap_scores_list = None
+        if boot_dev is not None:
+            boot = np.asarray(boot_dev, dtype=np.float64)
+            ci_low, ci_high = percentile_ci(boot)
+            bootstrap_scores_list = boot.tolist()
 
-            msg = f"    subj {subj} | {method.capitalize():<10}| {best_layer} = {point:.4f}"
-            if bootstrap:
-                msg += f"  [95% CI: {ci_low:.4f}, {ci_high:.4f}]"
-            rprint(msg, style="highlight")
+        msg = f"    {region} subj {subj} | {method.capitalize():<10}| {best_layer} = {point:.4f}"
+        if boot_dev is not None:
+            msg += f"  [95% CI: {ci_low:.4f}, {ci_high:.4f}]"
+        rprint(msg, style="highlight")
 
-            result = {
-                "layer": best_layer,
-                "compare_method": method,
-                "score": point,
-                "ci_low": ci_low,
-                "ci_high": ci_high,
-                "analysis": "rsa",
-                "layer_selection_scores": [],
-            }
-            if bootstrap_scores_list is not None:
-                result["bootstrap_scores"] = bootstrap_scores_list
-            if cfg.get("log_expdata"):
-                save_cfg = cfg.merge({"subject_idx": subj, "region": region})
-                save_results([result], save_cfg)
-            all_results.append(result)
+        result = {
+            "layer": best_layer,
+            "compare_method": method,
+            "score": point,
+            "ci_low": ci_low,
+            "ci_high": ci_high,
+            "analysis": "rsa",
+            "layer_selection_scores": [],
+        }
+        if bootstrap_scores_list is not None:
+            result["bootstrap_scores"] = bootstrap_scores_list
+        if cfg.get("log_expdata"):
+            save_cfg = cfg.merge({"subject_idx": subj, "region": region})
+            save_results([result], save_cfg)
+        all_results.append(result)
+
+    last_region = None
+    for region, subj in pair_list:
+        if region != last_region:
+            rprint(f"\n  -- Region: {region} --", style="info")
+            last_region = region
+        best_layer = best_layers[region][subj]
+        boot_dev = None
+        if bootstrap:
+            boot_dev = bootstrap_rdm_correlation(
+                model_rdms[best_layer], neural_rdms[(region, subj)],
+                n_bootstrap=n_bootstrap, seed=42, method=method, mesh=mesh,
+                indices=boot_indices, fetch=False,
+            )
+        pending.append((region, subj, best_layer, point_of_pair[(region, subj)], boot_dev))
+        if len(pending) >= 8:
+            _drain()
+    while pending:
+        _drain()
 
     return all_results
 

@@ -31,20 +31,40 @@ E2E_TIMEOUT = 7200    # fixture build (~14 GB, once) + measured run
 
 
 def run_stage(name: str, timeout: int = STAGE_TIMEOUT):
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-m", "visreps_tpu.benchmarks.stages", name],
-            capture_output=True, text=True, timeout=timeout,
-        )
-    except subprocess.TimeoutExpired:
-        print(f"# stage {name}: TIMEOUT", file=sys.stderr)
+    """Run one stage subprocess; on timeout ABANDON it (never kill).
+
+    Killing a client mid-compile can wedge the remote-compile relay
+    for ~1 h, poisoning every subsequent stage — an orphaned stage
+    process that finishes quietly into its temp file is strictly
+    cheaper.
+    """
+    import tempfile
+    import time
+
+    out = tempfile.NamedTemporaryFile("w+", suffix=f"_{name}.out", delete=False)
+    err = tempfile.NamedTemporaryFile("w+", suffix=f"_{name}.err", delete=False)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "visreps_tpu.benchmarks.stages", name],
+        stdout=out, stderr=err, text=True, start_new_session=True,
+    )
+    deadline = time.monotonic() + timeout
+    while proc.poll() is None and time.monotonic() < deadline:
+        time.sleep(2)
+    if proc.poll() is None:
+        print(f"# stage {name}: TIMEOUT (process left running: pid {proc.pid})",
+              file=sys.stderr)
         return None
-    for line in reversed(proc.stdout.strip().splitlines()):
+    out.flush(), err.flush()
+    with open(out.name) as f:
+        stdout = f.read()
+    for line in reversed(stdout.strip().splitlines()):
         try:
             return json.loads(line)
         except json.JSONDecodeError:
             continue
-    print(f"# stage {name}: failed rc={proc.returncode}: {proc.stderr[-300:]}", file=sys.stderr)
+    with open(err.name) as f:
+        stderr = f.read()
+    print(f"# stage {name}: failed rc={proc.returncode}: {stderr[-300:]}", file=sys.stderr)
     return None
 
 

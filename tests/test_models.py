@@ -186,3 +186,42 @@ class TestMultiLayerExact:
         assert ids_h == ids_d == sids
         np.testing.assert_allclose(np.asarray(dev["fc1_post"]),
                                    host["fc1_post"], rtol=1e-6)
+
+
+class TestStandaloneExtractorVariants:
+    """analysis/extract_representations: SRP / exact / spatial-pool
+    variants (reference extract_representations.py:52-157)."""
+
+    def _loader(self, rng, n_batches=2, bs=4):
+        return [(rng.randn(bs, 64, 64, 3).astype(np.float32),
+                 [f"im{i}_{j}" for j in range(bs)]) for i in range(n_batches)]
+
+    def test_three_variants(self):
+        import numpy as np
+
+        from visreps_tpu.analysis.extract_representations import (
+            extract_representations,
+        )
+        from visreps_tpu.models.zoo import init_model
+
+        rng = np.random.RandomState(0)
+        state = init_model("TinyCustomCNN", 8, seed=0)
+
+        srp_acts, ids = extract_representations(
+            state, self._loader(rng), ["conv5", "fc1"], srp_k=16,
+            batch_size=4, image_size=64)
+        assert srp_acts["conv5_post"].shape == (8, 16)
+
+        exact_acts, ids2 = extract_representations(
+            state, self._loader(rng), ["conv5", "fc1"], srp_k=0,
+            batch_size=4, image_size=64)
+        assert exact_acts["fc1_post"].shape[0] == 8
+        assert exact_acts["conv5_post"].shape[1] > 16  # full flattened dim
+
+        pooled, ids3 = extract_representations(
+            state, self._loader(rng), ["conv5"], srp_k=0, spatial_pool=True,
+            batch_size=4, image_size=64)
+        # global mean pool -> one value per channel
+        n_channels = state.params["conv5"]["conv"]["kernel"].shape[-1]
+        assert pooled["conv5"].shape == (8, n_channels)
+        assert ids3 == ids2 == ids

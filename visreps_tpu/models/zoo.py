@@ -93,22 +93,14 @@ def init_model(model_name: str, num_classes: int, seed: int = 0, cfg=None,
     module = _build_module(model_name, num_classes, cfg)
     size = input_size or (64 if "tiny" in model_name.lower() else 224)
     dummy = jnp.zeros((1, size, size, 3), jnp.float32)
-    # Initialize on the host CPU backend when one exists alongside an
-    # accelerator: flax init compiles a full forward, and compiling it
-    # through a remote-compile relay costs ~30 s for params the first
-    # real jit call would place on device anyway.
-    init_device = None
-    try:
-        if jax.default_backend() != "cpu":
-            init_device = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        init_device = None
-    if init_device is not None:
-        with jax.default_device(init_device):
-            variables = module.init(jax.random.PRNGKey(seed), dummy,
-                                    train=False, capture=())
-    else:
-        variables = module.init(jax.random.PRNGKey(seed), dummy, train=False, capture=())
+    # NOTE: initializing on the host "cpu" backend looks attractive
+    # (the init forward costs ~30 s to compile through the remote
+    # relay) but is a trap: on relay terminals the cpu backend is
+    # remote too, and worse, params committed to the cpu device get
+    # re-transferred on EVERY subsequent jit call (~240 MB x every
+    # batch for AlexNet — minutes of extra H2D). Initialize on the
+    # default device.
+    variables = module.init(jax.random.PRNGKey(seed), dummy, train=False, capture=())
     return ModelState(
         module=module,
         params=variables["params"],

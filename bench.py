@@ -79,6 +79,7 @@ def main():
     rdm = run_stage("rdm")
     decode = run_stage("decode", timeout=1800)
     h2d = run_stage("h2d")
+    train = run_stage("train")
     encoding = run_stage("encoding_e2e", timeout=3600)
 
     extras = {}
@@ -99,6 +100,8 @@ def main():
         extras["host_decode_images_per_sec"] = round(decode["decode_images_per_sec"], 1)
     if h2d:
         extras["h2d_MB_per_s"] = round(h2d["h2d_MB_per_s"], 1)
+    if train:
+        extras["train_images_per_sec_per_chip"] = round(train["train_images_per_sec"], 1)
     if encoding:
         extras["encoding_48pair_full_nsd_s"] = round(encoding["encoding_e2e_s"], 1)
 

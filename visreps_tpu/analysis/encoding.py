@@ -397,6 +397,11 @@ def _assemble_subject_results(jobs, refits, per_region_selection, bootstrap,
     return results
 
 
+# Per-phase wall-clock of the last compute_encoding_scores_subjects
+# call (selection sweep / cross-subject refits / assembly+bootstraps).
+LAST_PHASE_TIMES: Dict[str, float] = {}
+
+
 def compute_encoding_scores_subjects(
     subject_inputs: Dict,
     bootstrap: bool = True,
@@ -415,6 +420,9 @@ def compute_encoding_scores_subjects(
     per-region assembly. Numbers are identical to per-subject calls.
     Returns {subject: {region: [result]}}.
     """
+    import time as _time
+
+    _t0 = _time.perf_counter()
     deferred = {}
     for subj, (a_tr, a_te, y_tr, y_te) in subject_inputs.items():
         rprint(f"\n  -- Subject: {subj} (all regions batched) --", style="info")
@@ -424,9 +432,13 @@ def compute_encoding_scores_subjects(
             reconstruct_pca_k=reconstruct_pca_k, cv_precision=cv_precision,
             _defer=True,
         )
+    LAST_PHASE_TIMES["selection_s"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
 
     all_jobs = [j for d in deferred.values() for j in d["jobs"]]
     refits = ridge_cv_refit_predict_grouped(all_jobs, precision=cv_precision)
+    LAST_PHASE_TIMES["refit_s"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
 
     out = {}
     k = 0
@@ -437,4 +449,5 @@ def compute_encoding_scores_subjects(
             d["boot_idx"], d["col_slices"],
         )
         k += n_jobs
+    LAST_PHASE_TIMES["assemble_bootstrap_s"] = _time.perf_counter() - _t0
     return out

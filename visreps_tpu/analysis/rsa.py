@@ -23,11 +23,17 @@ import numpy as np
 from visreps_tpu.core.logging import rprint
 from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation, percentile_ci
 from visreps_tpu.ops.rdm import compute_rdm, compute_rdm_correlation, upper_triangle
-from visreps_tpu.ops.stats import kendall_tau_a, pearson_corr, spearman_corr_dense
+from visreps_tpu.ops.stats import (
+    kendall_tau_a,
+    pearson_corr,
+    spearman_corr,
+    spearman_corr_dense,
+)
 
 logger = logging.getLogger(__name__)
 
-_CORR = {"pearson": pearson_corr, "spearman": spearman_corr_dense, "kendall": kendall_tau_a}
+_CORR = {"pearson": pearson_corr, "spearman": spearman_corr_dense,
+         "spearman_exact": spearman_corr, "kendall": kendall_tau_a}
 
 
 def _flat(a: np.ndarray) -> np.ndarray:
@@ -37,13 +43,15 @@ def _flat(a: np.ndarray) -> np.ndarray:
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("method",))
-def _select_scores_batched(stacked, neural, method: str):
+@partial(jax.jit, static_argnames=("method", "exact_ties"))
+def _select_scores_batched(stacked, neural, method: str, exact_ties: bool = False):
     """(L, n, d) taps + (n, v) neural → (L,) RDM-comparison scores.
 
     All L rank transforms run as ONE batched double-argsort (XLA sorts
     the batch dimension in parallel — the serial per-layer version is
-    sort-latency-bound on TPU).
+    sort-latency-bound on TPU). ``exact_ties`` switches Spearman to
+    scipy's average-tie ranks (lax.map over rows — the vmapped
+    average-rank graph is a remote-compile hazard).
     """
     n = stacked.shape[1]
     neural_rdm = compute_rdm(neural)
@@ -58,6 +66,12 @@ def _select_scores_batched(stacked, neural, method: str):
         denom = jnp.sqrt(jnp.sum(xc * xc, axis=1) * jnp.sum(yc * yc))
         return jnp.sum(xc * yc[None, :], axis=1) / denom
     if method == "spearman":
+        if exact_ties:
+            from visreps_tpu.ops.stats import rankdata_average
+
+            rx = jax.lax.map(rankdata_average, tri)
+            ry = rankdata_average(tri_n)
+            return jax.lax.map(lambda r: pearson_corr(r, ry), rx)
         rx = jnp.argsort(jnp.argsort(tri, axis=1), axis=1).astype(jnp.float32)
         ry = jnp.argsort(jnp.argsort(tri_n)).astype(jnp.float32)
         d2 = jnp.sum((rx - ry[None, :]) ** 2, axis=1)
@@ -67,9 +81,54 @@ def _select_scores_batched(stacked, neural, method: str):
     return jax.lax.map(lambda t: kendall_tau_a(t, tri_n), tri)
 
 
+@partial(jax.jit, static_argnames=("method", "exact_ties"))
+def _select_scores_multipair(stacked, neural_rdms, method: str,
+                             exact_ties: bool = False):
+    """(L, n, d) taps + (R, n, n) neural RDMs → (R, L) scores.
+
+    A subject's train stimuli are shared across its regions in NSD/TVSD
+    (same stimuli, different voxels), so the L model RDMs and their
+    rank transforms — the sort-bound bulk of phase-1 selection — are
+    computed ONCE and scored against all R neural targets
+    (reference runs the full per-pair loop 48×, visreps/evals.py:237-273).
+    """
+    n = stacked.shape[1]
+    iu, ju = jnp.triu_indices(n, k=1)
+    rdms = jax.lax.map(compute_rdm, stacked)      # (L, n, n)
+    tri = rdms[:, iu, ju]                          # (L, M)
+    tri_n = neural_rdms[:, iu, ju]                 # (R, M)
+
+    if method == "pearson":
+        xc = tri - tri.mean(axis=1, keepdims=True)
+        yc = tri_n - tri_n.mean(axis=1, keepdims=True)
+        denom = jnp.sqrt(
+            jnp.sum(yc * yc, axis=1)[:, None] * jnp.sum(xc * xc, axis=1)[None, :])
+        num = jax.lax.dot(yc, xc.T, precision=jax.lax.Precision.HIGHEST)
+        return num / denom
+    if method == "spearman":
+        if exact_ties:
+            from visreps_tpu.ops.stats import rankdata_average
+
+            rx = jax.lax.map(rankdata_average, tri)
+            ry = jax.lax.map(rankdata_average, tri_n)
+            return jax.lax.map(
+                lambda r: jax.lax.map(lambda x: pearson_corr(x, r), rx), ry)
+        rx = jnp.argsort(jnp.argsort(tri, axis=1), axis=1).astype(jnp.float32)
+        ry = jnp.argsort(jnp.argsort(tri_n, axis=1), axis=1).astype(jnp.float32)
+        m = jnp.float32(tri.shape[1])
+
+        def one_region(r):
+            d2 = jnp.sum((rx - r[None, :]) ** 2, axis=1)
+            return 1.0 - 6.0 * d2 / (m * (m * m - 1.0))
+
+        return jax.lax.map(one_region, ry)
+    return jax.lax.map(
+        lambda tn: jax.lax.map(lambda t: kendall_tau_a(t, tn), tri), tri_n)
+
+
 def select_best_layer(acts: Dict[str, np.ndarray], neural: np.ndarray, method: str,
                       sel_idx: np.ndarray | None = None, batched: bool = True,
-                      fetch: bool = True):
+                      fetch: bool = True, exact_ties: bool = False):
     """Score every layer's RDM against the neural RDM; return scores.
 
     Same-width layers (the common case: every SRP tap is k-dim) run as
@@ -77,6 +136,9 @@ def select_best_layer(acts: Dict[str, np.ndarray], neural: np.ndarray, method: s
     per-layer loop with a single host fetch. ``fetch=False`` returns
     (names, device_values) without synchronizing so multi-pair callers
     can pipeline dispatches (finalize with ``scores_from_device``).
+    ``exact_ties`` makes Spearman selection use scipy's average-tie
+    ranks (default dense ranks — identical unless the RDM triangles
+    contain exact ties, e.g. from clamping).
     """
     method = method.lower()
     if sel_idx is not None:
@@ -92,7 +154,8 @@ def select_best_layer(acts: Dict[str, np.ndarray], neural: np.ndarray, method: s
         # np.stack would round-trip them through the host.
         stacker = jnp.stack if isinstance(mats[0], jax.Array) else np.stack
         vals = _select_scores_batched(
-            jnp.asarray(stacker(mats)), jnp.asarray(neural), method
+            jnp.asarray(stacker(mats)), jnp.asarray(neural), method,
+            exact_ties=exact_ties,
         )
         if not fetch:
             return names, vals
@@ -104,7 +167,8 @@ def select_best_layer(acts: Dict[str, np.ndarray], neural: np.ndarray, method: s
         # L host round trips (expensive through a remote relay).
         neural_rdm = compute_rdm(jnp.asarray(neural))
         tri_neural = upper_triangle(neural_rdm)
-        corr_fn = _CORR[method]
+        corr_fn = _CORR["spearman_exact"] if (
+            method == "spearman" and exact_ties) else _CORR[method]
         pending = [corr_fn(upper_triangle(compute_rdm(jnp.asarray(m))), tri_neural)
                    for m in mats]
         if not fetch:
@@ -183,10 +247,25 @@ def compute_rsa(
     # ── 3. Bootstrap CIs ────────────────────────────────────────
     ci_low = ci_high = None
     bootstrap_scores_list = None
+    boot_exact = False
     if bootstrap:
+        # The Spearman point score above is average-tie exact; keep the
+        # CI drawn from the SAME statistic when the triangles actually
+        # contain ties (else the sort-free dense-rank fast path is
+        # already identical).
+        if method == "spearman":
+            mode = cfg.get("bootstrap_exact_ties", "auto")
+            if mode == "auto":
+                from visreps_tpu.ops.rdm import triangle_tie_count
+
+                boot_exact = int(triangle_tie_count(test_model_rdm)
+                                 + triangle_tie_count(test_neural_rdm)) > 0
+            else:
+                boot_exact = bool(mode)
         boot = bootstrap_rdm_correlation(
             test_model_rdm, test_neural_rdm,
             n_bootstrap=n_bootstrap, seed=seed, method=method, mesh=mesh,
+            exact_ties=boot_exact,
         )
         ci_low, ci_high = percentile_ci(boot)
         bootstrap_scores_list = boot.tolist()
@@ -207,6 +286,7 @@ def compute_rsa(
     }
     if bootstrap_scores_list is not None:
         result["bootstrap_scores"] = bootstrap_scores_list
+        result["bootstrap_exact_ties"] = boot_exact
     return [result]
 
 

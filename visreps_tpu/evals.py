@@ -278,15 +278,18 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
 
     # ── Phase 1: per-(region, subject) layer selection (SRP) ──
     # The reference scores one pair at a time with a host sync each
-    # (evals.py:237-273). Here the selection programs are pipelined: a
-    # pair's 14-tap selection is DISPATCHED while earlier pairs are
-    # still computing, and results are fetched a few pairs behind —
-    # on relay-attached hosts each sync costs a full round trip. Only
-    # the ≤ n_select subsampled rows are gathered (indices composed
-    # before the gather), not the full per-subject train set.
+    # (evals.py:237-273). Here pairs are grouped BY SUBJECT: a subject's
+    # train stimuli are identical across regions (same stimuli,
+    # different voxels), so the 14 model RDMs + rank transforms — the
+    # sort-bound bulk of selection — are computed once per subject and
+    # scored against all of its regions in ONE dispatch
+    # (_select_scores_multipair: 8 programs instead of 48, 6× fewer
+    # big sorts). Subjects whose matched rows differ across regions
+    # fall back to the pipelined per-pair path. Only the ≤ n_select
+    # subsampled rows are gathered, not the full train set.
     from collections import deque
 
-    from visreps_tpu.analysis.rsa import scores_from_device
+    import jax
 
     rprint("\n  Phase 1: Per-subject layer selection", style="info")
     per_region_layers: Dict = {}
@@ -295,46 +298,79 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
         per_region_layers[region] = {}
         per_region_scores[region] = {}
 
+    from visreps_tpu.analysis.rsa import _select_scores_multipair
+
+    exact_sel = bool(cfg.get("selection_exact_ties", False))
+    tap_names = list(acts.keys())
+    on_device = isinstance(next(iter(acts.values())), jax.Array)
+    same_width = len({a.shape[1] for a in acts.values()}) == 1
+
+    def _pair_rows(region, subj):
+        targets = neural[region][subj]["train"]
+        idx = [i for i, k in enumerate(ids) if str(k) in targets]
+        matched = [str(ids[i]) for i in idx]
+        n_train = len(matched)
+        if n_select is not None and n_select < n_train:
+            sel = np.random.RandomState(42).choice(n_train, size=n_select,
+                                                   replace=False)
+        else:
+            sel = np.arange(n_train)
+        rows = np.asarray(idx)[sel]
+        sel_neural = np.stack(
+            [np.asarray(targets[matched[i]], np.float32) for i in sel])
+        if sel_neural.ndim > 2:
+            sel_neural = sel_neural.squeeze()
+        return rows, sel_neural
+
     sel_pending: deque = deque()
 
     def _drain_selection():
-        region, subj, n_sel_used, names, vals = sel_pending.popleft()
-        scores = scores_from_device(names, vals)
-        best = max(scores, key=lambda l: scores[l] if scores[l] == scores[l] else -np.inf)
-        per_region_layers[region][subj] = best
-        per_region_scores[region][subj] = [
-            {"layer": l, "score": s} for l, s in scores.items()
-        ]
-        if verbose:
-            rprint(
-                f"    {region} subj {subj}: {best} ({scores[best]:.4f}), "
-                f"{n_sel_used} stimuli for selection",
-                style="info",
-            )
+        regs, subj, n_sel_used, vals = sel_pending.popleft()
+        arr = np.asarray(jax.device_get(vals), dtype=np.float64)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        for region, row in zip(regs, arr):
+            scores = {l: float(v) for l, v in zip(tap_names, row)}
+            best = max(scores, key=lambda l: scores[l] if scores[l] == scores[l] else -np.inf)
+            per_region_layers[region][subj] = best
+            per_region_scores[region][subj] = [
+                {"layer": l, "score": s} for l, s in scores.items()
+            ]
+            if verbose:
+                rprint(
+                    f"    {region} subj {subj}: {best} ({scores[best]:.4f}), "
+                    f"{n_sel_used} stimuli for selection",
+                    style="info",
+                )
 
-    for region in regions:
-        for subj in subjects:
-            targets = neural[region][subj]["train"]
-            idx = [i for i, k in enumerate(ids) if str(k) in targets]
-            matched = [str(ids[i]) for i in idx]
-            n_train = len(matched)
-            if n_select is not None and n_select < n_train:
-                sel = np.random.RandomState(42).choice(n_train, size=n_select,
-                                                       replace=False)
-            else:
-                sel = np.arange(n_train)
-            rows = np.asarray(idx)[sel]
-            sel_neural = np.stack(
-                [np.asarray(targets[matched[i]], np.float32) for i in sel])
-            if sel_neural.ndim > 2:
-                sel_neural = sel_neural.squeeze()
-            sel_acts = {l: a[rows] for l, a in acts.items()}
-            names, vals = select_best_layer(sel_acts, sel_neural, method,
-                                            fetch=False)
-            sel_pending.append((region, subj, len(sel), names, vals))
-            if len(sel_pending) >= 4:
-                _drain_selection()
-            del sel_acts
+    for subj in subjects:
+        rows_by_region, neural_by_region = {}, {}
+        for region in regions:
+            rows_by_region[region], neural_by_region[region] = _pair_rows(region, subj)
+        rows0 = rows_by_region[regions[0]]
+        grouped = same_width and len(regions) > 1 and all(
+            np.array_equal(rows_by_region[r], rows0) for r in regions[1:])
+        if grouped:
+            stacker = jnp.stack if on_device else np.stack
+            stacked = stacker([acts[l][rows0] for l in tap_names])
+            neural_rdms = jnp.stack([
+                compute_rdm(jnp.asarray(neural_by_region[r])) for r in regions])
+            vals = _select_scores_multipair(
+                jnp.asarray(stacked), neural_rdms, method, exact_sel)
+            sel_pending.append((list(regions), subj, len(rows0), vals))
+            del stacked
+        else:
+            for region in regions:
+                rows = rows_by_region[region]
+                sel_acts = {l: a[rows] for l, a in acts.items()}
+                names_r, vals = select_best_layer(
+                    sel_acts, neural_by_region[region], method, fetch=False,
+                    exact_ties=exact_sel)
+                assert names_r == tap_names
+                sel_pending.append(([region], subj, len(rows), vals))
+                del sel_acts
+        if len(sel_pending) >= 3:
+            _drain_selection()
     while sel_pending:
         _drain_selection()
 
@@ -403,6 +439,27 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
     del model_stack, neural_stack
     point_of_pair = {k: float(v) for k, v in zip(pair_list, point_scores)}
 
+    # Point scores use average-tie Spearman; the bootstrap fast path
+    # uses dense ranks (identical on tie-free triangles). Detect ties
+    # per pair and route tied pairs through the exact average-tie
+    # bootstrap so the CI always brackets the reported statistic.
+    exact_by_pair = {k: False for k in pair_list}
+    if bootstrap and method == "spearman":
+        mode = cfg.get("bootstrap_exact_ties", "auto")
+        if mode == "auto":
+            from visreps_tpu.ops.rdm import triangle_tie_count
+
+            lt = {l: triangle_tie_count(model_rdms[l]) for l in unique_layers}
+            pt = {k: triangle_tie_count(neural_rdms[k]) for k in pair_list}
+            lt = dict(zip(lt, (int(v) for v in jax.device_get(list(lt.values())))))
+            pt = dict(zip(pt, (int(v) for v in jax.device_get(list(pt.values())))))
+            exact_by_pair = {
+                (r, s): (lt[per_region_layers[r][s]] + pt[(r, s)]) > 0
+                for r, s in pair_list
+            }
+        elif mode:
+            exact_by_pair = {k: True for k in pair_list}
+
     score_pending: deque = deque()
     all_results = []
 
@@ -448,6 +505,7 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
                 model_rdms[best_layer], neural_rdms[(region, subj)],
                 n_bootstrap=n_bootstrap, seed=42, method=method, mesh=mesh,
                 indices=boot_indices, fetch=False,
+                exact_ties=exact_by_pair[(region, subj)],
             )
         score_pending.append(
             (region, subj, best_layer, point_of_pair[(region, subj)], boot_dev))
@@ -556,6 +614,26 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh=None) -> List[
     boot_indices = (bootstrap_indices(len(test_ids), n_bootstrap, seed=42)
                     if bootstrap and test_ids else None)
 
+    # Tie-aware bootstrap routing, as in _eval_rsa.
+    import jax
+
+    exact_by_pair = {k: False for k in pair_list}
+    if bootstrap and method == "spearman":
+        mode = cfg.get("bootstrap_exact_ties", "auto")
+        if mode == "auto":
+            from visreps_tpu.ops.rdm import triangle_tie_count
+
+            lt = {l: triangle_tie_count(model_rdms[l]) for l in unique_layers}
+            pt = {k: triangle_tie_count(neural_rdms[k]) for k in pair_list}
+            lt = dict(zip(lt, (int(v) for v in jax.device_get(list(lt.values())))))
+            pt = dict(zip(pt, (int(v) for v in jax.device_get(list(pt.values())))))
+            exact_by_pair = {
+                (r, s): (lt[best_layers[r][s]] + pt[(r, s)]) > 0
+                for r, s in pair_list
+            }
+        elif mode:
+            exact_by_pair = {k: True for k in pair_list}
+
     all_results = []
     pending: deque = deque()
 
@@ -601,6 +679,7 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh=None) -> List[
                 model_rdms[best_layer], neural_rdms[(region, subj)],
                 n_bootstrap=n_bootstrap, seed=42, method=method, mesh=mesh,
                 indices=boot_indices, fetch=False,
+                exact_ties=exact_by_pair[(region, subj)],
             )
         pending.append((region, subj, best_layer, point_of_pair[(region, subj)], boot_dev))
         if len(pending) >= 8:

@@ -72,6 +72,19 @@ def upper_triangle(rdm: jnp.ndarray) -> jnp.ndarray:
     return rdm[iu, ju]
 
 
+@jax.jit
+def triangle_tie_count(rdm: jnp.ndarray) -> jnp.ndarray:
+    """Number of exactly-tied adjacent values in the sorted upper
+    triangle (0 ⇒ dense-rank Spearman ≡ scipy's average-tie Spearman).
+
+    Used to decide whether the sort-free bootstrap fast path is exact
+    for a given RDM pair or whether the average-tie kernel is needed
+    (clamp-induced ties — jnp.clip on degenerate rows — do occur)."""
+    t = upper_triangle(rdm)
+    s = jnp.sort(t)
+    return jnp.sum((s[1:] == s[:-1]).astype(jnp.int32))
+
+
 _CORR_FUNCS = {
     "pearson": pearson_corr,
     # Point scores use scipy-exact average-tie Spearman: clamp-induced

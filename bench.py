@@ -180,7 +180,9 @@ def main():
             b.emit()
         return res
 
-    record("encoding_e2e", 480, 300, lambda r: b.extras.update({
+    # Healthy runtime is ~250-300 s measured + ~60-100 s warmup/compile;
+    # the r3 baseline run showed 480 s starves it on a slow relay day.
+    record("encoding_e2e", 620, 330, lambda r: b.extras.update({
         "encoding_48pair_full_nsd_s": round(r["encoding_e2e_s"], 1),
         "encoding_cv_precision": r.get("cv_precision"),
     }))

@@ -36,45 +36,12 @@ OUTPUT_DIR = str(Path(__file__).resolve().parent)
 SEED = 42
 
 
-def _adaptive_avg_pool(x: jnp.ndarray, out_hw: int) -> jnp.ndarray:
-    """NHWC adaptive average pool to (out_hw, out_hw) — same bin edges
-    as torch's AdaptiveAvgPool2d (floor/ceil split)."""
-    n, h, w, c = x.shape
-    starts_h = [(i * h) // out_hw for i in range(out_hw)]
-    ends_h = [-(-((i + 1) * h) // out_hw) for i in range(out_hw)]
-    starts_w = [(j * w) // out_hw for j in range(out_hw)]
-    ends_w = [-(-((j + 1) * w) // out_hw) for j in range(out_hw)]
-    rows = []
-    for i in range(out_hw):
-        cols = [
-            x[:, starts_h[i]:ends_h[i], starts_w[j]:ends_w[j], :].mean(axis=(1, 2))
-            for j in range(out_hw)
-        ]
-        rows.append(jnp.stack(cols, axis=1))  # (n, out_hw, c)
-    return jnp.stack(rows, axis=1)  # (n, out_hw, out_hw, c)
-
-
-def make_pooled_extractor(state, layers, pool_size: int | None = 3,
-                          l2_normalize: bool = True):
-    """Jitted fn(batch) -> {layer: (B, d) f32}, post-ReLU taps, conv
-    taps pooled to pool_size², optional L2 row-normalize."""
-    points = tuple(f"{l}_post" for l in layers)
-
-    @jax.jit
-    def step(variables, x):
-        _, taps = state.module.apply(variables, x, train=False, capture=points)
-        out = {}
-        for l, p in zip(layers, points):
-            t = taps[p]
-            if t.ndim == 4 and pool_size is not None:
-                t = _adaptive_avg_pool(t, pool_size)
-            t = t.reshape(t.shape[0], -1).astype(jnp.float32)
-            if l2_normalize:
-                t = t / jnp.maximum(jnp.linalg.norm(t, axis=1, keepdims=True), 1e-8)
-            out[l] = t
-        return out
-
-    return partial(step, state.variables)
+# Library home: visreps_tpu/models/pooling.py (re-exported here so the
+# experiment scripts' import surface is unchanged).
+from visreps_tpu.models.pooling import (  # noqa: E402,F401
+    adaptive_avg_pool as _adaptive_avg_pool,
+    make_pooled_extractor,
+)
 
 
 def extract_pooled_layers(state, loader, layers=None, pool_size: int | None = 3,

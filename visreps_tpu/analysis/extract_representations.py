@@ -115,14 +115,10 @@ def extract_representations(state, loader, return_nodes, pre_and_post=True,
         return extractor.get_activations(loader)
 
     if spatial_pool:
-        import sys
-        from pathlib import Path
-
-        sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
         import jax
         import jax.numpy as jnp
 
-        from experiments.representation_analysis.utils import make_pooled_extractor
+        from visreps_tpu.models.pooling import make_pooled_extractor
 
         layers = list(return_nodes)
         step = make_pooled_extractor(state, layers, pool_size=1,

@@ -336,6 +336,15 @@ class FeatureExtractor:
         if stimulus_ids is not None:
             id_to_idx = {str(k): i for i, k in enumerate(all_ids)}
             keep = [id_to_idx[str(s)] for s in stimulus_ids if str(s) in id_to_idx]
+            if len(keep) != len(stimulus_ids):
+                # Surface the mismatch HERE: a silently smaller RDM
+                # fails much later with an opaque shape error.
+                rprint(
+                    f"Warning: {len(stimulus_ids) - len(keep)} of "
+                    f"{len(stimulus_ids)} requested stimulus_ids absent "
+                    f"from the loader output (kept {len(keep)})",
+                    style="warning",
+                )
             all_ids = [all_ids[i] for i in keep]
         cat = jnp.concatenate if store == "device" else np.concatenate
         keep_idx = None if keep is None else (
@@ -389,6 +398,13 @@ class FeatureExtractor:
         if stimulus_ids is not None:
             id_to_idx = {str(k): i for i, k in enumerate(all_ids)}
             keep = [id_to_idx[str(s)] for s in stimulus_ids if str(s) in id_to_idx]
+            if len(keep) != len(stimulus_ids):
+                rprint(
+                    f"Warning: {len(stimulus_ids) - len(keep)} of "
+                    f"{len(stimulus_ids)} requested stimulus_ids absent "
+                    f"from the loader output (kept {len(keep)})",
+                    style="warning",
+                )
             acts = acts[keep]
             all_ids = [all_ids[i] for i in keep]
         rprint(f"  Re-extracted {layer_name}: {acts.shape} (exact, no SRP)", style="success")

@@ -186,11 +186,20 @@ def masked_tau_a(maskp: jnp.ndarray, pre: dict, n0: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kendall_fast_body(rdm_a, rdm_b, idx, chunk: int):
-    """Batched masked tau-a over bootstrap index sets.
+    """Batched masked tau-a over bootstrap index sets, LANE-MAJOR.
 
     Exactly matches gathering each sub-RDM triangle and running
     ops/stats.kendall_tau_a (tau is invariant to pair order, and tie
     handling here is exact), at a fraction of the per-iteration cost.
+
+    Layout: the bootstrap-iteration axis is kept LAST — masks live as
+    (P, chunk) with iterations in the lane dimension — so every
+    merge-tree permutation/boundary gather fetches a CONTIGUOUS
+    chunk-wide row (≈256 B/read at chunk=64) instead of one scalar.
+    The per-level random gathers are the kernel's bottleneck; the
+    vmapped scalar-gather formulation measured ~110 bootstraps/s on
+    v5e, two orders of magnitude under HBM speed-of-light for the
+    same bytes.
     """
     n = rdm_a.shape[0]
     m_sub = idx.shape[1]
@@ -203,18 +212,46 @@ def _kendall_fast_body(rdm_a, rdm_b, idx, chunk: int):
     m_pairs = (m_sub * (m_sub - 1)) // 2
     n0 = jnp.float32(m_pairs) * jnp.float32(m_pairs - 1) / 2.0
 
-    def one(ix):
-        included = jnp.zeros((n,), jnp.int32).at[ix].set(1)
-        mask = (included[iu] * included[ju]).astype(jnp.float32)
-        maskp = jnp.concatenate([mask, jnp.zeros((P - M,), jnp.float32)])
-        return masked_tau_a(maskp, pre, n0)
+    def batch(ix):  # (c, m_sub) index sets → (c,) tau-a scores
+        c = ix.shape[0]
+        inc = jnp.zeros((c, n), jnp.float32).at[
+            jnp.arange(c)[:, None], ix].set(1.0).T          # (n, c)
+        mask = inc[iu] * inc[ju]                             # (M, c) row gathers
+        maskp = jnp.concatenate(
+            [mask, jnp.zeros((P - M, c), jnp.float32)], axis=0)
+
+        def tie_pairs(perm, sg):
+            m = maskp[perm]                                  # (P, c)
+            exc = jnp.cumsum(m, axis=0) - m                  # selected strictly before
+            return jnp.sum(m * (exc - exc[sg]), axis=0)      # (c,)
+
+        t_x = tie_pairs(pre["perm0"], pre["sg_x"])
+        t_xy = tie_pairs(pre["perm0"], pre["sg_xy"])
+        t_y = tie_pairs(pre["perm_b"], pre["sg_y"])
+
+        zrow = jnp.zeros((1, c), jnp.float32)
+
+        def level(carry, lvl):
+            perm, gA, gB = lvl
+            m = maskp[perm]                                  # (P, c)
+            ex = jnp.concatenate([zrow, jnp.cumsum(m, axis=0)], axis=0)
+            # emit per-level counts instead of accumulating in the
+            # carry: a varying carry trips shard_map's vma check in
+            # the sharded bootstrap path.
+            return carry, jnp.sum(m * (ex[gA] - ex[gB]), axis=0)
+
+        _, ds = jax.lax.scan(level, jnp.float32(0.0),
+                             (pre["perms"], pre["gAs"], pre["gBs"]))
+        D = jnp.sum(ds, axis=0)                              # (c,)
+        c_minus_d = n0 - t_x - t_y + t_xy - 2.0 * D
+        return jnp.where(n0 > 0, c_minus_d / n0, jnp.nan)
 
     n_boot = idx.shape[0]
     chunk = min(chunk, n_boot)
     n_chunks = -(-n_boot // chunk)
     pad = n_chunks * chunk - n_boot
     idx_p = jnp.concatenate([idx, idx[:pad]]) if pad else idx
-    scores = jax.lax.map(jax.vmap(one), idx_p.reshape(n_chunks, chunk, m_sub))
+    scores = jax.lax.map(batch, idx_p.reshape(n_chunks, chunk, m_sub))
     return scores.reshape(-1)[:n_boot]
 
 

@@ -142,7 +142,13 @@ def _wood_cv_scores(x, y, lam, v_eig, c, alphas, n_folds, precision):
             c1 = ct * dinv[:, None]
             r1 = jax.lax.dot(u.T, c1, precision=precision)       # (nv, v)
             ut = u * jnp.sqrt(dinv)[:, None]
-            k = jax.lax.dot(ut.T, ut, precision=precision)       # (nv, nv)
+            # k feeds the small-system inverse, so it stays HIGHEST
+            # regardless of the sweep precision: reduced-precision k
+            # weakens s = I − K exactly where it nears singularity
+            # (smallest alphas) and can flip near-tied alpha rankings.
+            # Costs ~nv²·d flops per (fold, alpha) — a few % of the
+            # sweep's v-wide matmuls, which keep `precision`.
+            k = jax.lax.dot(ut.T, ut, precision=jax.lax.Precision.HIGHEST)
             s = jnp.eye(nv, dtype=jnp.float32) - k
             # Triangular solves with v-wide RHS are serial-slow on TPU
             # (TRSM doesn't tile onto the MXU); invert the small

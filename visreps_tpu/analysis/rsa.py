@@ -222,7 +222,8 @@ def compute_rsa(
         )
 
     # ── 1. Layer selection ─────────────────────────────────────
-    scores = select_best_layer(selection.activations, selection.neural, method, sel_idx)
+    scores = select_best_layer(selection.activations, selection.neural, method, sel_idx,
+                               exact_ties=bool(cfg.get("selection_exact_ties", False)))
     selection_scores = [{"layer": l, "score": s} for l, s in scores.items()]
     best_layer = max(scores, key=lambda l: scores[l] if scores[l] == scores[l] else -np.inf)
     if verbose:
@@ -262,10 +263,18 @@ def compute_rsa(
                                  + triangle_tie_count(test_neural_rdm)) > 0
             else:
                 boot_exact = bool(mode)
+        # The reference CONTINUES the selection RandomState into the
+        # bootstrap draws (visreps/analysis/rsa.py:166-171, 239-246) —
+        # generate the index sets from the same `rng` so the streams
+        # are bit-identical even when an n_select draw was consumed.
+        n_sub = int(n_test * 0.9)
+        indices = np.stack(
+            [rng.choice(n_test, size=n_sub, replace=False)
+             for _ in range(n_bootstrap)]).astype(np.int32)
         boot = bootstrap_rdm_correlation(
             test_model_rdm, test_neural_rdm,
             n_bootstrap=n_bootstrap, seed=seed, method=method, mesh=mesh,
-            exact_ties=boot_exact,
+            exact_ties=boot_exact, indices=indices,
         )
         ci_low, ci_high = percentile_ci(boot)
         bootstrap_scores_list = boot.tolist()

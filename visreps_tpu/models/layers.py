@@ -67,6 +67,53 @@ def adaptive_avg_pool(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return jnp.stack(rows, axis=1)  # (b, out_h, out_w, c)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's exact running-statistics semantics.
+
+    flax.linen.BatchNorm updates the running variance with the BIASED
+    batch variance; torch.nn.BatchNorm updates it with the UNBIASED one
+    (var · n/(n−1)) while still normalizing with the biased variance
+    (reference models train under torch BN — custom_model.py:146-185).
+    The n/(n−1) gap compounds over a 20-epoch run (≈3 %/step on the
+    update term for a bs-32 fc BN), silently diverging eval-mode
+    trajectories; matching torch keeps one-step train parity exact
+    (tests/test_train_parity.py). Variable names ('scale'/'bias',
+    batch_stats 'mean'/'var') match flax.linen.BatchNorm so checkpoints
+    and torch_import mappings are unchanged.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        axes = tuple(range(x.ndim - 1))
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.mean(jnp.square(x - mean), axis=axes)  # biased (normalization)
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * unbiased)
+        y = (x - mean) / jnp.sqrt(var + self.epsilon)
+        return y * scale + bias
+
+
 class ConvBNReLU(nn.Module):
     """Conv → BatchNorm → ReLU with pre/post taps and freezable BN.
 
@@ -96,7 +143,7 @@ class ConvBNReLU(nn.Module):
         if tap_name:
             taps.add(f"{tap_name}_pre", x)
         use_running = (not train) or self.frozen_bn
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=use_running, momentum=0.9, epsilon=1e-5, name="bn"
         )(x)
         x = nn.relu(x)
@@ -117,7 +164,7 @@ class DenseBNReLU(nn.Module):
         if tap_name:
             taps.add(f"{tap_name}_pre", x)
         use_running = (not train) or self.frozen_bn
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=use_running, momentum=0.9, epsilon=1e-5, name="bn"
         )(x)
         x = nn.relu(x)

@@ -9,14 +9,14 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from visreps_tpu.models.layers import avg_pool, max_pool
+from visreps_tpu.models.layers import TorchBatchNorm, avg_pool, max_pool
 
 
 def get_normalization(norm_type: str, features: int, train: bool = True):
     """Return a norm module constructor by name."""
     norm_type = (norm_type or "none").lower()
     if norm_type in ("batch", "batchnorm"):
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)
+        return TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)
     if norm_type in ("instance", "instancenorm"):
         return nn.GroupNorm(num_groups=features)
     if norm_type in ("layer", "layernorm"):

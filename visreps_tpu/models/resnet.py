@@ -12,7 +12,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from visreps_tpu.models.layers import Taps, max_pool, xavier_uniform
+from visreps_tpu.models.layers import Taps, TorchBatchNorm, max_pool, xavier_uniform
 
 
 class BasicBlock(nn.Module):
@@ -24,14 +24,14 @@ class BasicBlock(nn.Module):
         identity = x
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
                     padding=[(1, 1)] * 2, use_bias=False, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1")(y)
+        y = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, use_bias=False, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2")(y)
+        y = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = nn.Conv(self.features, (1, 1), strides=(self.stride,) * 2,
                                use_bias=False, name="downsample_conv")(x)
-            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            identity = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                                     epsilon=1e-5, name="downsample_bn")(identity)
         return nn.relu(y + identity)
 
@@ -45,18 +45,18 @@ class Bottleneck(nn.Module):
         identity = x
         out_feats = self.features * 4
         y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1")(y)
+        y = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
                     padding=[(1, 1)] * 2, use_bias=False, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2")(y)
+        y = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(out_feats, (1, 1), use_bias=False, name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn3")(y)
+        y = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn3")(y)
         if self.stride != 1 or x.shape[-1] != out_feats:
             identity = nn.Conv(out_feats, (1, 1), strides=(self.stride,) * 2,
                                use_bias=False, name="downsample_conv")(x)
-            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            identity = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                                     epsilon=1e-5, name="downsample_bn")(identity)
         return nn.relu(y + identity)
 
@@ -81,7 +81,7 @@ class ResNet(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
                     use_bias=False, name="conv1")(x)
         taps.add("conv1", x)  # raw conv output, pre-BN (reference tap point)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1")(x)
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1")(x)
         x = nn.relu(x)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
         x = max_pool(x, 3, 2)

@@ -1,0 +1,205 @@
+"""Golden forward parity: flax CLIP/DINOv2 towers vs HF torch.
+
+Config-initialized (weightless) HF models — the offline pattern of
+tests/test_hf_extraction.py — with their random-init state dicts
+imported into the flax towers (models/hf_vit.py); asserts logit/tap
+parity so the TPU-native towers are drop-in replacements for the
+reference's host-torch CLIP/DINO extraction
+(reference: scripts/extract_representations/clip_representations.py).
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from visreps_tpu.models.hf_vit import (  # noqa: E402
+    CLIPVisionTower,
+    DINOv2Tower,
+    interpolate_positions,
+    tower_from_hf_clip,
+    tower_from_hf_dinov2,
+)
+
+IMG = 32
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return np.random.RandomState(0).randn(2, IMG, IMG, 3).astype(np.float32)
+
+
+class TestCLIPTowerParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from transformers import CLIPVisionConfig, CLIPVisionModel
+
+        torch.manual_seed(0)
+        cfg = CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=4, image_size=IMG, patch_size=16,
+        )
+        hf = CLIPVisionModel(cfg).eval()
+        module, params = tower_from_hf_clip(hf, projection=False)
+        return hf, module, params
+
+    def test_pooled_and_block_taps(self, pair, batch):
+        hf, module, params = pair
+        with torch.no_grad():
+            out = hf(pixel_values=torch.from_numpy(
+                np.transpose(batch, (0, 3, 1, 2))), output_hidden_states=True)
+        pooled, taps = module.apply(
+            {"params": params}, jnp.asarray(batch), train=False,
+            capture=("block1", "block3", "pooled"))
+        np.testing.assert_allclose(
+            np.asarray(pooled), out.pooler_output.numpy(), atol=2e-5)
+        # HF hidden_states[i] = input of layer i (post-embedding for 0);
+        # hidden_states[i+1] = output of layer i == our block{i+1} tap.
+        np.testing.assert_allclose(
+            np.asarray(taps["block1"]), out.hidden_states[1].numpy(), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(taps["block3"]), out.hidden_states[3].numpy(), atol=2e-5)
+
+    def test_projection_import(self, batch):
+        from transformers import CLIPConfig, CLIPModel
+
+        torch.manual_seed(1)
+        cfg = CLIPConfig.from_text_vision_configs(
+            transformers.CLIPTextConfig(hidden_size=16, intermediate_size=32,
+                                        num_hidden_layers=1, num_attention_heads=2,
+                                        vocab_size=64, max_position_embeddings=8),
+            transformers.CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                                          num_hidden_layers=2, num_attention_heads=4,
+                                          image_size=IMG, patch_size=16),
+            projection_dim=24,
+        )
+        hf = CLIPModel(cfg).eval()
+        module, params = tower_from_hf_clip(hf, projection=True)
+        with torch.no_grad():
+            ref = hf.get_image_features(pixel_values=torch.from_numpy(
+                np.transpose(batch, (0, 3, 1, 2)))).numpy()
+        emb, _ = module.apply({"params": params}, jnp.asarray(batch),
+                              train=False, capture=())
+        np.testing.assert_allclose(np.asarray(emb), ref, atol=2e-5)
+
+
+class TestDINOv2TowerParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from transformers import Dinov2Config, Dinov2Model
+
+        torch.manual_seed(0)
+        cfg = Dinov2Config(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=4, image_size=IMG, patch_size=16,
+            layerscale_value=0.7,
+        )
+        hf = Dinov2Model(cfg).eval()
+        module, params = tower_from_hf_dinov2(hf)
+        return hf, module, params
+
+    def test_cls_and_block_taps(self, pair, batch):
+        hf, module, params = pair
+        with torch.no_grad():
+            out = hf(pixel_values=torch.from_numpy(
+                np.transpose(batch, (0, 3, 1, 2))), output_hidden_states=True)
+        pooled, taps = module.apply(
+            {"params": params}, jnp.asarray(batch), train=False,
+            capture=("block2", "pooled"))
+        # Dinov2Model.pooler_output is the final-LN CLS token
+        np.testing.assert_allclose(
+            np.asarray(pooled), out.pooler_output.numpy(), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(taps["block2"]), out.hidden_states[2].numpy(), atol=2e-5)
+
+
+class TestPositionInterpolation:
+    def test_identity_when_matching(self):
+        pos = np.random.RandomState(0).randn(5, 8).astype(np.float32)
+        np.testing.assert_array_equal(interpolate_positions(pos, 4), pos)
+
+    def test_resample_shape(self):
+        pos = np.random.RandomState(0).randn(1 + 37 * 37, 8).astype(np.float32)
+        out = interpolate_positions(pos, 16 * 16)
+        assert out.shape == (257, 8)
+        np.testing.assert_array_equal(out[0], pos[0])
+
+
+class TestExtractorIntegration:
+    def test_feature_extractor_over_tower(self, batch):
+        """The standard FeatureExtractor drives a tower end to end
+        (taps + fused SRP), no torch in the loop."""
+        from visreps_tpu.models.extractor import FeatureExtractor
+        from visreps_tpu.models.zoo import ModelState
+
+        module = CLIPVisionTower(hidden=32, num_layers=2, heads=4,
+                                 mlp_dim=64, patch=16, projection_dim=None)
+        params = module.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, IMG, IMG, 3)))["params"]
+        state = ModelState(module=module, params=params, batch_stats=None,
+                           input_size=IMG)
+        ex = FeatureExtractor(state, ["block1", "block2", "pooled"],
+                              extract_pre_and_post=False, srp_k=16,
+                              batch_size=2, image_size=IMG)
+        loader = [(batch, ["a", "b"])]
+        acts, ids = ex.get_activations(loader)
+        assert set(acts) == {"block1", "block2", "pooled"}
+        assert acts["block1"].shape == (2, 16)
+        assert ids == ["a", "b"]
+
+    def test_dino_tower_extract(self, batch):
+        from visreps_tpu.models.extractor import FeatureExtractor
+        from visreps_tpu.models.zoo import ModelState
+
+        module = DINOv2Tower(hidden=32, num_layers=2, heads=4,
+                             mlp_dim=64, patch=16)
+        params = module.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, IMG, IMG, 3)))["params"]
+        state = ModelState(module=module, params=params, batch_stats=None,
+                           input_size=IMG)
+        ex = FeatureExtractor(state, ["block2", "embed"],
+                              extract_pre_and_post=False, srp_k=0 or 16,
+                              batch_size=2, image_size=IMG)
+        acts, _ = ex.get_activations([(batch, ["a", "b"])])
+        assert acts["block2"].shape == (2, 16)
+
+
+class TestCrossModelRDMCLI:
+    def test_cli_synthetic_tiny(self, tmp_path):
+        from visreps_tpu.analysis import cross_model_rdms as cmr
+
+        out = str(tmp_path / "xm.npz")
+        cmr.main([
+            "--models", "clip-tiny", "dinov2-tiny", "--stimuli", "synthetic:12",
+            "--out", out, "--srp-k", "16", "--batch-size", "4",
+            "--image-size", "32", "--random-init", "--tiny-towers",
+        ])
+        data = np.load(out, allow_pickle=True)
+        layers = list(data["layers__clip-tiny"])
+        assert layers == ["patch_embed", "block1", "block2", "pooled"]
+        mat = data["corr__clip-tiny__dinov2-tiny"]
+        assert mat.shape == (4, 4)
+        assert np.isfinite(mat).all() and (np.abs(mat) <= 1.0 + 1e-6).all()
+        self_mat = data["corr__clip-tiny__clip-tiny"]
+        np.testing.assert_allclose(np.diag(self_mat), 1.0, atol=1e-4)
+        assert len(data["summary"]) == 3
+
+    def test_cross_matrix_matches_pairwise(self):
+        from visreps_tpu.analysis.cross_model_rdms import cross_model_matrix
+        from visreps_tpu.ops.rdm import compute_rdm, compute_rdm_correlation
+
+        rng = np.random.RandomState(0)
+        rdms_a = {f"a{i}": np.asarray(compute_rdm(jnp.asarray(
+            rng.randn(12, 6).astype(np.float32)))) for i in range(2)}
+        rdms_b = {f"b{i}": np.asarray(compute_rdm(jnp.asarray(
+            rng.randn(12, 6).astype(np.float32)))) for i in range(3)}
+        mat = cross_model_matrix(rdms_a, rdms_b, "spearman")
+        for i, ka in enumerate(rdms_a):
+            for j, kb in enumerate(rdms_b):
+                ref = compute_rdm_correlation(
+                    jnp.asarray(rdms_a[ka]), jnp.asarray(rdms_b[kb]),
+                    correlation="spearman")
+                np.testing.assert_allclose(mat[i, j], ref, atol=1e-5)

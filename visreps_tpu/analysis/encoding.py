@@ -106,17 +106,31 @@ def compute_encoding_score(
     y_fit_normed, y_mean, y_std = znorm_fit(y_fit)
     y_val_normed = znorm(jnp.asarray(y_train_raw[val_idx]), y_mean, y_std)
 
-    selection_scores = []
-    best_layer, best_score = None, -float("inf")
+    # Dispatch every layer's selection program before fetching any
+    # score: the per-layer float() sync costs a full host round trip
+    # through relay-attached terminals (VERDICT r2 weak-item 6 — the
+    # THINGS/TVSD per-pair branches run through this path).
+    pending = []
     for layer, acts in train_acts.items():
         x_fit_normed, x_mean, x_std = znorm_fit(jnp.asarray(acts[fit_idx]))
         x_val_normed = znorm(jnp.asarray(acts[val_idx]), x_mean, x_std)
-        _, score = _fit_and_score(x_fit_normed, y_fit_normed, x_val_normed, y_val_normed, alphas)
+        model = ridge_cv(x_fit_normed, y_fit_normed, alphas=alphas)
+        pred = model.predict(x_val_normed)
+        pending.append((layer, jnp.mean(correlation_score(y_val_normed, pred))))
+    fetched = jax.device_get([s for _, s in pending])
+
+    selection_scores = []
+    best_layer, best_score = None, -float("inf")
+    for (layer, _), score in zip(pending, fetched):
+        score = float(score)
         selection_scores.append({"layer": layer, "score": score})
         if verbose:
-            rprint(f"  [select] {layer:<15} r={score:.4f}  ({acts.shape[1]} features)", style="info")
+            rprint(
+                f"  [select] {layer:<15} r={score:.4f}  "
+                f"({train_acts[layer].shape[1]} features)", style="info")
         if score > best_score:
             best_score, best_layer = score, layer
+    del pending
 
     if verbose:
         rprint(

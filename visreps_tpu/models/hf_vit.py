@@ -1,0 +1,350 @@
+"""CLIP ViT-L/14 vision tower and DINOv2 as flax modules (TPU-native).
+
+The reference extracts CLIP/DINO features with host torch
+(reference: scripts/extract_representations/clip_representations.py:1-60,
+dino_representations.py) — here both towers are first-class jitted flax
+models with the same tap-capture contract as every other family
+(TAPS dict + static ``capture`` tuple), so all-layer extraction + SRP
+runs through the standard FeatureExtractor on device, and cross-model
+RDM matrices (analysis/cross_model_rdms.py) need no torch at runtime.
+
+Weight import maps HuggingFace state dicts (CLIPVisionModel/CLIPModel,
+Dinov2Model) onto the flax trees; golden forward-parity is tested
+against config-initialized HF torch models (tests/test_hf_towers.py),
+the same offline pattern as tests/test_hf_extraction.py.
+
+Architecture notes (HF modeling_clip / modeling_dinov2):
+  * CLIP: patch conv (no bias) → [CLS | patches] + learned positions →
+    pre-LN → 24 × (LN→MHSA→res, LN→QuickGELU-MLP→res) → post-LN;
+    pooled = post-LN CLS; optional visual projection (no bias).
+  * DINOv2: patch conv (bias) → [CLS | patches] + positions →
+    24 × (LN→MHSA→LayerScale→res, LN→GELU-MLP→LayerScale→res) →
+    final LN; CLS output. LN eps 1e-6.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visreps_tpu.models.layers import Taps
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class MHSA(nn.Module):
+    """Multi-head self-attention with separate q/k/v projections
+    (mirrors the HF weight layout for direct import)."""
+
+    hidden: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, _ = x.shape
+        h = self.heads
+        d = self.hidden // h
+        q = nn.Dense(self.hidden, name="q")(x)
+        k = nn.Dense(self.hidden, name="k")(x)
+        v = nn.Dense(self.hidden, name="v")(x)
+
+        def split(z):
+            return z.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, self.hidden)
+        return nn.Dense(self.hidden, name="out")(out)
+
+
+class CLIPBlock(nn.Module):
+    hidden: int
+    heads: int
+    mlp_dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=self.eps, name="ln1")(x)
+        x = x + MHSA(self.hidden, self.heads, name="attn")(y)
+        y = nn.LayerNorm(epsilon=self.eps, name="ln2")(x)
+        y = nn.Dense(self.mlp_dim, name="fc1")(y)
+        y = quick_gelu(y)
+        y = nn.Dense(self.hidden, name="fc2")(y)
+        return x + y
+
+
+class DINOv2Block(nn.Module):
+    hidden: int
+    heads: int
+    mlp_dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        ls1 = self.param("ls1", nn.initializers.ones, (self.hidden,))
+        ls2 = self.param("ls2", nn.initializers.ones, (self.hidden,))
+        y = nn.LayerNorm(epsilon=self.eps, name="norm1")(x)
+        x = x + ls1 * MHSA(self.hidden, self.heads, name="attn")(y)
+        y = nn.LayerNorm(epsilon=self.eps, name="norm2")(x)
+        y = nn.Dense(self.mlp_dim, name="fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.hidden, name="fc2")(y)
+        return x + ls2 * y
+
+
+def _tower_taps(max_layers: int) -> dict:
+    return {
+        "patch_embed": ("patch_embed",),
+        **{f"block{i}": (f"block{i}",) for i in range(1, max_layers + 1)},
+        "pooled": ("pooled",),
+        "embed": ("embed",),
+    }
+
+
+class CLIPVisionTower(nn.Module):
+    """CLIP vision transformer (ViT-L/14 defaults)."""
+
+    hidden: int = 1024
+    num_layers: int = 24
+    heads: int = 16
+    mlp_dim: int = 4096
+    patch: int = 14
+    eps: float = 1e-5
+    projection_dim: int | None = 768
+
+    TAPS = _tower_taps(24)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, capture: Sequence[str] = ()):
+        taps = Taps(capture)
+        b = x.shape[0]
+        x = nn.Conv(self.hidden, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), use_bias=False,
+                    name="patch")(x)
+        taps.add("patch_embed", x)
+        x = x.reshape(b, -1, self.hidden)
+        cls = self.param("class_embedding",
+                         nn.initializers.normal(0.02), (self.hidden,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, self.hidden)), x], axis=1)
+        pos = self.param("pos_embedding", nn.initializers.normal(0.02),
+                         (x.shape[1], self.hidden))
+        x = x + pos[None]
+        x = nn.LayerNorm(epsilon=self.eps, name="pre_ln")(x)
+        for i in range(1, self.num_layers + 1):
+            x = CLIPBlock(self.hidden, self.heads, self.mlp_dim, self.eps,
+                          name=f"block{i}")(x)
+            taps.add(f"block{i}", x)
+        pooled = nn.LayerNorm(epsilon=self.eps, name="post_ln")(x[:, 0])
+        taps.add("pooled", pooled)
+        out = pooled
+        if self.projection_dim:
+            out = nn.Dense(self.projection_dim, use_bias=False,
+                           name="projection")(pooled)
+            taps.add("embed", out)
+        return out, taps.out
+
+
+class DINOv2Tower(nn.Module):
+    """DINOv2 backbone (ViT-L/14 defaults)."""
+
+    hidden: int = 1024
+    num_layers: int = 24
+    heads: int = 16
+    mlp_dim: int = 4096
+    patch: int = 14
+    eps: float = 1e-6
+
+    TAPS = _tower_taps(24)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, capture: Sequence[str] = ()):
+        taps = Taps(capture)
+        b = x.shape[0]
+        x = nn.Conv(self.hidden, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), name="patch")(x)
+        taps.add("patch_embed", x)
+        x = x.reshape(b, -1, self.hidden)
+        cls = self.param("cls_token", nn.initializers.normal(0.02),
+                         (1, 1, self.hidden))
+        x = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), x], axis=1)
+        pos = self.param("pos_embedding", nn.initializers.normal(0.02),
+                         (x.shape[1], self.hidden))
+        x = x + pos[None]
+        for i in range(1, self.num_layers + 1):
+            x = DINOv2Block(self.hidden, self.heads, self.mlp_dim, self.eps,
+                            name=f"block{i}")(x)
+            taps.add(f"block{i}", x)
+        x = nn.LayerNorm(epsilon=self.eps, name="final_ln")(x)
+        pooled = x[:, 0]
+        taps.add("pooled", pooled)
+        taps.add("embed", pooled)
+        return pooled, taps.out
+
+
+# ─────────────────── HF weight converters ────────────────────
+def _np(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _lin(params, name, sd, prefix, bias=True):
+    params[name] = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if bias:
+        params[name]["bias"] = _np(sd[f"{prefix}.bias"])
+
+
+def _ln(params, name, sd, prefix):
+    params[name] = {"scale": _np(sd[f"{prefix}.weight"]),
+                    "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def convert_clip_vision(sd, num_layers: int) -> dict:
+    """HF CLIPVisionModel/CLIPModel state dict → CLIPVisionTower params."""
+    pfx = "vision_model."
+    if not any(k.startswith(pfx) for k in sd):
+        pfx = ""
+    p: dict = {}
+    w = _np(sd[f"{pfx}embeddings.patch_embedding.weight"])
+    p["patch"] = {"kernel": w.transpose(2, 3, 1, 0)}
+    p["class_embedding"] = _np(sd[f"{pfx}embeddings.class_embedding"]).reshape(-1)
+    p["pos_embedding"] = _np(sd[f"{pfx}embeddings.position_embedding.weight"])
+    _ln(p, "pre_ln", sd, f"{pfx}pre_layrnorm")
+    for i in range(1, num_layers + 1):
+        lp = f"{pfx}encoder.layers.{i - 1}"
+        blk: dict = {"attn": {}}
+        _ln(blk, "ln1", sd, f"{lp}.layer_norm1")
+        _ln(blk, "ln2", sd, f"{lp}.layer_norm2")
+        for ours, theirs in (("q", "q_proj"), ("k", "k_proj"),
+                             ("v", "v_proj"), ("out", "out_proj")):
+            _lin(blk["attn"], ours, sd, f"{lp}.self_attn.{theirs}")
+        _lin(blk, "fc1", sd, f"{lp}.mlp.fc1")
+        _lin(blk, "fc2", sd, f"{lp}.mlp.fc2")
+        p[f"block{i}"] = blk
+    _ln(p, "post_ln", sd, f"{pfx}post_layernorm")
+    if "visual_projection.weight" in sd:
+        _lin(p, "projection", sd, "visual_projection", bias=False)
+    return p
+
+
+def convert_dinov2(sd, num_layers: int) -> dict:
+    """HF Dinov2Model state dict → DINOv2Tower params."""
+    p: dict = {}
+    p["cls_token"] = _np(sd["embeddings.cls_token"])
+    w = _np(sd["embeddings.patch_embeddings.projection.weight"])
+    p["patch"] = {"kernel": w.transpose(2, 3, 1, 0),
+                  "bias": _np(sd["embeddings.patch_embeddings.projection.bias"])}
+    p["pos_embedding"] = _np(sd["embeddings.position_embeddings"]).reshape(
+        -1, p["cls_token"].shape[-1])
+    for i in range(1, num_layers + 1):
+        lp = f"encoder.layer.{i - 1}"
+        blk: dict = {"attn": {}}
+        _ln(blk, "norm1", sd, f"{lp}.norm1")
+        _ln(blk, "norm2", sd, f"{lp}.norm2")
+        for ours, theirs in (("q", "attention.attention.query"),
+                             ("k", "attention.attention.key"),
+                             ("v", "attention.attention.value"),
+                             ("out", "attention.output.dense")):
+            _lin(blk["attn"], ours, sd, f"{lp}.{theirs}")
+        _lin(blk, "fc1", sd, f"{lp}.mlp.fc1")
+        _lin(blk, "fc2", sd, f"{lp}.mlp.fc2")
+        blk["ls1"] = _np(sd[f"{lp}.layer_scale1.lambda1"])
+        blk["ls2"] = _np(sd[f"{lp}.layer_scale2.lambda1"])
+        p[f"block{i}"] = blk
+    _ln(p, "final_ln", sd, "layernorm")
+    return p
+
+
+# ───────────────────────── loaders ───────────────────────────
+def tower_from_hf_clip(model, projection: bool = True):
+    """HF CLIPVisionModel or CLIPModel (torch) → (module, params)."""
+    cfg = getattr(model.config, "vision_config", model.config)
+    proj_dim = None
+    sd = model.state_dict()
+    if projection and "visual_projection.weight" in sd:
+        proj_dim = int(sd["visual_projection.weight"].shape[0])
+    module = CLIPVisionTower(
+        hidden=cfg.hidden_size, num_layers=cfg.num_hidden_layers,
+        heads=cfg.num_attention_heads, mlp_dim=cfg.intermediate_size,
+        patch=cfg.patch_size, eps=cfg.layer_norm_eps,
+        projection_dim=proj_dim,
+    )
+    params = convert_clip_vision(sd, cfg.num_hidden_layers)
+    return module, jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def tower_from_hf_dinov2(model):
+    """HF Dinov2Model (torch) → (module, params)."""
+    cfg = model.config
+    sd = model.state_dict()
+    # HF Dinov2 sizes its MLP from mlp_ratio and ignores
+    # intermediate_size; read the real width off the weights.
+    mlp_dim = int(sd["encoder.layer.0.mlp.fc1.weight"].shape[0])
+    module = DINOv2Tower(
+        hidden=cfg.hidden_size, num_layers=cfg.num_hidden_layers,
+        heads=cfg.num_attention_heads, mlp_dim=mlp_dim,
+        patch=cfg.patch_size, eps=cfg.layer_norm_eps,
+    )
+    params = convert_dinov2(sd, cfg.num_hidden_layers)
+    return module, jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def interpolate_positions(pos: np.ndarray, n_patches: int) -> np.ndarray:
+    """Resample the patch-position grid to n_patches (CLS row kept).
+
+    HF Dinov2 interpolates bicubically when the input size differs from
+    the pretraining size (518 → 37×37 grid); dinov2-large at 224 px
+    needs 16×16 (modeling_dinov2.interpolate_pos_encoding).
+    """
+    if pos.shape[0] - 1 == n_patches:
+        return pos
+    cls_row, grid = pos[:1], pos[1:]
+    src = int(round(math.sqrt(grid.shape[0])))
+    dst = int(round(math.sqrt(n_patches)))
+    grid = grid.reshape(src, src, -1)
+    grid = np.asarray(jax.image.resize(
+        jnp.asarray(grid), (dst, dst, grid.shape[-1]), method="bicubic"))
+    return np.concatenate([cls_row, grid.reshape(dst * dst, -1)], axis=0)
+
+
+def load_tower(name: str, pretrained: bool = True, image_size: int = 224):
+    """'clip-vit-l14' | 'dinov2-l14' (or any HF id) → ModelState.
+
+    With pretrained=True the HF weights must be in the local cache
+    (zero-egress: pre-seed it); pretrained=False initializes the flax
+    tower directly (no torch needed).
+    """
+    from visreps_tpu.models.zoo import ModelState
+
+    lname = name.lower()
+    is_clip = "clip" in lname
+    if pretrained:
+        if is_clip:
+            from transformers import CLIPModel
+
+            hf_id = name if "/" in name else "openai/clip-vit-large-patch14"
+            model = CLIPModel.from_pretrained(hf_id, local_files_only=True).eval()
+            module, params = tower_from_hf_clip(model)
+        else:
+            from transformers import Dinov2Model
+
+            hf_id = name if "/" in name else "facebook/dinov2-large"
+            model = Dinov2Model.from_pretrained(hf_id, local_files_only=True).eval()
+            module, params = tower_from_hf_dinov2(model)
+            n_patches = (image_size // module.patch) ** 2
+            params["pos_embedding"] = jnp.asarray(interpolate_positions(
+                np.asarray(params["pos_embedding"]), n_patches))
+    else:
+        module = CLIPVisionTower() if is_clip else DINOv2Tower()
+        dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+        params = module.init(jax.random.PRNGKey(0), dummy)["params"]
+    return ModelState(module=module, params=params, batch_stats=None,
+                      input_size=image_size)

@@ -37,7 +37,12 @@ REF_ROOT = "/root/reference"
 
 # ───────────────────── dependency stubs ──────────────────────
 def _stub(name: str) -> types.ModuleType:
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # A None __spec__ breaks importlib.util.find_spec for other
+    # packages probing optional deps (e.g. transformers checks wandb).
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     sys.modules[name] = mod
     return mod
 
@@ -149,7 +154,9 @@ def _install_stubs():
 
 _install_stubs()
 if REF_ROOT not in sys.path:
-    sys.path.insert(0, REF_ROOT)
+    # APPEND, not insert: the reference tree also contains top-level
+    # `scripts`/`experiments` packages that must not shadow ours.
+    sys.path.append(REF_ROOT)
 
 ref_rsa = pytest.importorskip("visreps.analysis.rsa")
 ref_alignment = pytest.importorskip("visreps.analysis.alignment")

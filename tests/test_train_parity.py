@@ -31,7 +31,9 @@ import jax.numpy as jnp
 
 REF_ROOT = "/root/reference"
 if REF_ROOT not in sys.path:
-    sys.path.insert(0, REF_ROOT)
+    # APPEND, not insert: the reference tree also contains top-level
+    # `scripts`/`experiments` packages that must not shadow ours.
+    sys.path.append(REF_ROOT)
 
 ref_cm = pytest.importorskip("visreps.models.custom_model")
 

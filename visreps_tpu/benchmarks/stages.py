@@ -441,7 +441,7 @@ STAGES = {
     "rdm": stage_rdm,
     "rdm_pallas": stage_rdm_pallas,
     "bootstrap": stage_bootstrap,
-    "bootstrap_kendall": lambda: stage_bootstrap(n=1000, n_bootstrap=1000, method="kendall", chunk=64),
+    "bootstrap_kendall": lambda: stage_bootstrap(n=1000, n_bootstrap=1000, method="kendall", chunk=250),
     "selection": stage_selection,
     "selection_device": stage_selection_device,
     "ridge": stage_ridge,

@@ -26,9 +26,10 @@ _CORR = {
     "kendall": kendall_tau_a,
 }
 
-# Masked-inversion kendall temporaries are ~P floats per in-flight
-# iteration; bound the vmap width harder than spearman's.
-_KENDALL_CHUNK = 64
+# Kendall's lane-major kernel amortizes a large per-step cost across
+# the chunk axis (measured: per-step ~0.5 s nearly independent of
+# width); (P, 250) f32 temporaries are ~0.5 GB — wide but HBM-safe.
+_KENDALL_CHUNK = 250
 
 
 def bootstrap_indices(

@@ -8,32 +8,35 @@ still pays O(M log² M) merge rounds PER ITERATION (~10/s at n≈1000).
 This kernel exploits the subset structure of bootstrap resampling the
 same way the Spearman kernel does (ops/bootstrap._spearman_fast_body):
 every iteration's pair set is a SUBSET of the full RDM triangle, so the
-entire sorting structure can be computed ONCE:
+entire sorting structure is computed ONCE (`kendall_precompute`), and
+each iteration reduces to masked counting. Three kernel-shaping rules,
+each worth integer factors on v5e (measured via /tmp probes, r3):
 
-  * Knight's algorithm needs D = #strict inversions of the vb-sequence
-    after lexsorting pairs by (va, vb). Build the full triangle's merge
-    tree once: at each of the log2(P) levels, record (a) the
-    permutation from level arrangement to triangle slots and (b) for
-    every right-half element, the PRECOMPUTED binary-search boundary of
-    its value in the paired left block.
-  * Per iteration, masked cross-block inversions at every level are
-    then just: permute the 0/1 selection mask by the level order,
-    one cumsum, and two gathers at precomputed positions — no sorts,
-    no searchsorted, no data-dependent shapes.
-  * Tie-pair corrections (t_x, t_y, t_xy) restricted to the mask come
-    from the same cumsum trick over precomputed tie-group-start
-    positions.
+  * LANE-MAJOR masks: iterations live in the LAST axis — (P, chunk)
+    tensors — so every permutation/boundary gather reads a contiguous
+    chunk-wide row instead of one scalar (the vmapped scalar layout
+    measured ~110 bootstraps/s; per-step cost was nearly independent
+    of lane width, so wide chunks amortize it).
+  * FOLDED LOW LEVELS: merge-tree levels with block width < _FOLD_B
+    are replaced by ONE batched pair-matrix contraction — the
+    within-32-block strict-inversion indicator A[b, i, j] is static,
+    so the masked count is einsum("bij,bjc->bic")·mask, riding the MXU
+    instead of five rounds of prefix scans.
+  * BLOCK-LOCAL PREFIXES: the remaining levels only need prefix counts
+    WITHIN each merged block, so their cumsums run over the (short)
+    block axis of (nb, B, c) — log(B) scan passes instead of log(P).
 
-Per-iteration work is O(M log M) gathers/cumsums with tiny constants;
-tie handling is EXACT tau-a semantics (identical to the general
-kernel / scipy tau-b→tau-a conversion) — not an approximation.
+Tie-pair corrections (t_x, t_y, t_xy) restricted to the mask use
+global cumsums over precomputed tie-group-start gathers; tie handling
+is EXACT tau-a semantics (identical to ops/stats.kendall_tau_a /
+scipy's tau-b→tau-a conversion) — not an approximation.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
+
+_FOLD_B = 32  # merge levels below this block width fold into one matmul
 
 
 def _next_pow2(n: int) -> int:
@@ -75,10 +78,12 @@ def _binary_upper_bound(L: jnp.ndarray, q: jnp.ndarray, w: int) -> jnp.ndarray:
 def kendall_precompute(va: jnp.ndarray, vb: jnp.ndarray):
     """Build the shared sorting structure for masked tau-a evaluation.
 
-    va, vb: (M,) full-triangle value vectors. Returns a dict of
-    device arrays; see module docstring for the scheme.
+    va, vb: (M,) full-triangle value vectors. Returns a dict with the
+    tie-group structures, the folded low-level pair matrix `A`
+    (nb0, B0, B0), and per-level (perm, lgA, lgB, nb, B) tuples for the
+    block-local levels; see module docstring for the scheme.
     """
-    M = va.shape[0]
+    M = int(va.shape[0])
     P = _next_pow2(max(M, 2))
     va = va.astype(jnp.float32)
     vb = vb.astype(jnp.float32)
@@ -110,29 +115,38 @@ def kendall_precompute(va: jnp.ndarray, vb: jnp.ndarray):
                             jnp.zeros((P - M,), bool)])
     sg_y = _group_starts(eq_y)
 
-    # Merge tree: per level, (perm, gA, gB) such that the masked
-    # cross-block inversion count is Σ_r mask_r · (ex[gA_r] − ex[gB_r])
-    # with ex = exclusive cumsum of the permuted mask.
+    # Folded low levels: strict-inversion pair matrix within B0-blocks
+    # of the level-1 (lexsorted) arrangement. Pad slots carry y = +inf
+    # but their mask is always 0, so spurious A entries contribute 0.
+    B0 = min(_FOLD_B, P)
+    nb0 = P // B0
+    yb = y_pad.reshape(nb0, B0)
+    i_lt_j = jnp.arange(B0)[:, None] < jnp.arange(B0)[None, :]
+    A = ((yb[:, :, None] > yb[:, None, :]) & i_lt_j[None]).astype(jnp.float32)
+
+    # Merge tree: build arrangements by repeated within-block sorting.
+    # Levels with w < B0 are covered by A; store (perm, local gA/gB)
+    # for the rest. lgA/lgB index a per-block (B+1)-long exclusive
+    # prefix layout: lex[b*(B+1)+k] = #selected in block b's first k.
     a = y_pad
     perm = perm0
-    perms, gAs, gBs = [], [], []
+    levels = []
     w = 1
     while w < P:
         nb = P // (2 * w)
+        B = 2 * w
         blocks = a.reshape(nb, 2, w)
-        L, R = blocks[:, 0, :], blocks[:, 1, :]
-        ub = _binary_upper_bound(L, R, w)  # (nb, w): #L ≤ r
-        base = (jnp.arange(nb, dtype=jnp.int32) * 2 * w)[:, None]
-        gA_R = base + w                     # L block end (exclusive)
-        gB_R = base + ub.astype(jnp.int32)  # first L element > r
-        # L-half positions contribute nothing: gA == gB == 0.
-        gA = jnp.concatenate(
-            [jnp.zeros((nb, w), jnp.int32), jnp.broadcast_to(gA_R, (nb, w))], axis=1
-        ).reshape(-1)
-        gB = jnp.concatenate([jnp.zeros((nb, w), jnp.int32), gB_R], axis=1).reshape(-1)
-        perms.append(perm)
-        gAs.append(gA)
-        gBs.append(gB)
+        if w >= B0:
+            L, R = blocks[:, 0, :], blocks[:, 1, :]
+            ub = _binary_upper_bound(L, R, w)  # (nb, w): #L ≤ r
+            blk = (jnp.arange(nb, dtype=jnp.int32) * (B + 1))[:, None]
+            lgA_R = blk + w                      # left-block total
+            lgB_R = blk + ub.astype(jnp.int32)   # #L ≤ r
+            zero = jnp.zeros((nb, w), jnp.int32)  # left rows: lex[0]−lex[0]
+            lgA = jnp.concatenate([zero, jnp.broadcast_to(lgA_R, (nb, w))],
+                                  axis=1).reshape(-1)
+            lgB = jnp.concatenate([zero, lgB_R], axis=1).reshape(-1)
+            levels.append((perm, lgA, lgB, nb, B))
         # merge by re-sorting each 2w block, tracking slot identity
         merged = blocks.reshape(nb, 2 * w)
         o = jnp.argsort(merged, axis=1, stable=True)
@@ -144,62 +158,16 @@ def kendall_precompute(va: jnp.ndarray, vb: jnp.ndarray):
         "P": P, "M": M,
         "perm0": perm0, "sg_x": sg_x, "sg_xy": sg_xy,
         "perm_b": perm_b, "sg_y": sg_y,
-        "perms": jnp.stack(perms), "gAs": jnp.stack(gAs), "gBs": jnp.stack(gBs),
+        "A": A, "B0": B0, "levels": levels,
     }
 
 
-def _tie_pairs(maskp: jnp.ndarray, perm: jnp.ndarray, sg: jnp.ndarray) -> jnp.ndarray:
-    """Σ_g C(c_g_selected, 2) over tie groups of one sorted order."""
-    m = maskp[perm]
-    c = jnp.cumsum(m)
-    exc = c - m  # selected strictly before each position
-    return jnp.sum(m * (exc - exc[sg]))
-
-
-def masked_tau_a(maskp: jnp.ndarray, pre: dict, n0: jnp.ndarray) -> jnp.ndarray:
-    """tau-a over the pairs where maskp == 1 (padded to P).
-
-    n0 = #selected pairs choose... = m(m−1)/2 over selected PAIR count?
-    No: n0 is C(m, 2) over selected pair VALUES — i.e. #selected-pairs ·
-    (#selected-pairs − 1) / 2, passed in by the caller (constant across
-    bootstrap iterations of fixed subsample size).
-    """
-    t_x = _tie_pairs(maskp, pre["perm0"], pre["sg_x"])
-    t_xy = _tie_pairs(maskp, pre["perm0"], pre["sg_xy"])
-    t_y = _tie_pairs(maskp, pre["perm_b"], pre["sg_y"])
-
-    def level(_, lvl):
-        perm, gA, gB = lvl
-        m = maskp[perm]
-        ex = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(m)])
-        d = jnp.sum(m * (ex[gA] - ex[gB]))
-        # emit per-level counts instead of carrying a scalar sum: a
-        # varying carry trips shard_map's vma check inside the sharded
-        # bootstrap path.
-        return _, d
-
-    _, ds = jax.lax.scan(level, jnp.float32(0.0),
-                         (pre["perms"], pre["gAs"], pre["gBs"]))
-    D = jnp.sum(ds)
-    c_minus_d = n0 - t_x - t_y + t_xy - 2.0 * D
-    return jnp.where(n0 > 0, c_minus_d / n0, jnp.nan)
-
-
 def _kendall_fast_body(rdm_a, rdm_b, idx, chunk: int):
-    """Batched masked tau-a over bootstrap index sets, LANE-MAJOR.
+    """Batched masked tau-a over bootstrap index sets (lane-major).
 
     Exactly matches gathering each sub-RDM triangle and running
     ops/stats.kendall_tau_a (tau is invariant to pair order, and tie
     handling here is exact), at a fraction of the per-iteration cost.
-
-    Layout: the bootstrap-iteration axis is kept LAST — masks live as
-    (P, chunk) with iterations in the lane dimension — so every
-    merge-tree permutation/boundary gather fetches a CONTIGUOUS
-    chunk-wide row (≈256 B/read at chunk=64) instead of one scalar.
-    The per-level random gathers are the kernel's bottleneck; the
-    vmapped scalar-gather formulation measured ~110 bootstraps/s on
-    v5e, two orders of magnitude under HBM speed-of-light for the
-    same bytes.
     """
     n = rdm_a.shape[0]
     m_sub = idx.shape[1]
@@ -207,7 +175,8 @@ def _kendall_fast_body(rdm_a, rdm_b, idx, chunk: int):
     va = rdm_a[iu, ju].astype(jnp.float32)
     vb = rdm_b[iu, ju].astype(jnp.float32)
     pre = kendall_precompute(va, vb)
-    P, M = pre["P"], pre["M"]
+    P, M, B0 = pre["P"], pre["M"], pre["B0"]
+    nb0 = P // B0
 
     m_pairs = (m_sub * (m_sub - 1)) // 2
     n0 = jnp.float32(m_pairs) * jnp.float32(m_pairs - 1) / 2.0
@@ -229,20 +198,21 @@ def _kendall_fast_body(rdm_a, rdm_b, idx, chunk: int):
         t_xy = tie_pairs(pre["perm0"], pre["sg_xy"])
         t_y = tie_pairs(pre["perm_b"], pre["sg_y"])
 
-        zrow = jnp.zeros((1, c), jnp.float32)
+        # Folded low levels: one batched pair-matrix contraction.
+        mp0 = maskp[pre["perm0"]]                            # (P, c)
+        mb0 = mp0.reshape(nb0, B0, c)
+        s = jnp.einsum("bij,bjc->bic", pre["A"], mb0)
+        D = jnp.sum(mb0 * s, axis=(0, 1))                    # (c,)
 
-        def level(carry, lvl):
-            perm, gA, gB = lvl
+        # Remaining levels: block-local exclusive prefixes.
+        for perm, lgA, lgB, nb, B in pre["levels"]:
             m = maskp[perm]                                  # (P, c)
-            ex = jnp.concatenate([zrow, jnp.cumsum(m, axis=0)], axis=0)
-            # emit per-level counts instead of accumulating in the
-            # carry: a varying carry trips shard_map's vma check in
-            # the sharded bootstrap path.
-            return carry, jnp.sum(m * (ex[gA] - ex[gB]), axis=0)
+            mb = m.reshape(nb, B, c)
+            lex = jnp.concatenate(
+                [jnp.zeros((nb, 1, c), jnp.float32), jnp.cumsum(mb, axis=1)],
+                axis=1).reshape(nb * (B + 1), c)
+            D = D + jnp.sum(m * (lex[lgA] - lex[lgB]), axis=0)
 
-        _, ds = jax.lax.scan(level, jnp.float32(0.0),
-                             (pre["perms"], pre["gAs"], pre["gBs"]))
-        D = jnp.sum(ds, axis=0)                              # (c,)
         c_minus_d = n0 - t_x - t_y + t_xy - 2.0 * D
         return jnp.where(n0 > 0, c_minus_d / n0, jnp.nan)
 

@@ -135,6 +135,17 @@ class Bench:
             for k, v in self.e2e.items():
                 if k.startswith("phase_"):
                     extras[k] = v
+            if "n_procs" in self.e2e:  # subject-sharded multi-process run
+                extras["e2e_n_procs"] = self.e2e["n_procs"]
+                workers = [w for w in self.e2e.get("workers", [])
+                           if "worker_wall_s" in w]
+                if workers:
+                    slow = max(workers, key=lambda w: w["worker_wall_s"])
+                    extras["e2e_worker_walls_s"] = [
+                        round(w["worker_wall_s"], 1) for w in workers]
+                    for k, v in slow.items():
+                        if k.startswith("phase_"):
+                            extras[k] = v
         else:
             # Stage-composed projection (round-1 formula), clearly labeled.
             metric = "nsd_e2e_PROJECTED_73k_8subj_bootstrap_rsa"
@@ -169,7 +180,14 @@ def main():
                                  "/root/.cache/visreps_bench_fixture")
     fixture_ready = os.path.exists(os.path.join(fixture_dir, "meta.json"))
     e2e_cap = min(max(remaining() - 240, 300), 2400 if fixture_ready else 5400)
-    b.e2e = b.run("e2e_measured", cap=e2e_cap, need=240)
+    # Subject-sharded multi-process run first (the relay's H2D ceiling
+    # is per-process; 3 workers ≈ 3× the upload bandwidth), falling
+    # back to the single-process orchestration if it doesn't complete.
+    b.e2e = b.run("e2e_measured_mp", cap=min(e2e_cap, 900), need=240)
+    if b.e2e and not b.e2e.get("complete", True):
+        b.e2e = None
+    if not b.e2e:
+        b.e2e = b.run("e2e_measured", cap=e2e_cap, need=240)
     b.emit()  # headline survives any later timeout
 
     # ── 2. Extras, priority-ordered, each followed by a re-emit ───

@@ -63,7 +63,9 @@ class TestMeasuredE2E:
         monkeypatch.setattr(fx, "N_SHARED", 12)
         monkeypatch.setattr(fx, "N_UNIQUE", 20)
         monkeypatch.setattr(fx, "N_SUBJECTS", 2)
-        monkeypatch.setattr(fx, "REGIONS", ["early", "V1"])
+        # first two of the default region list — matches what a
+        # re-importing subprocess derives from VISREPS_BENCH_N_REGIONS=2
+        monkeypatch.setattr(fx, "REGIONS", ["early", "ventral"])
         monkeypatch.setattr(fx, "N_VOXELS", 8)
         monkeypatch.setattr(fx, "N_STIMULI", 12 + 2 * 20)
         monkeypatch.setattr(fx, "IMG_SIZE", 64)
@@ -92,6 +94,92 @@ class TestMeasuredE2E:
         assert out["n_results"] == 4  # 2 subjects x 2 regions
         assert out["db_rows"] >= 4
         assert out["e2e_measured_s"] > 0
+
+    def test_e2e_retention_equivalence(self, tmp_path, monkeypatch):
+        """acts_retain (phase-1-only SRP row retention) must not change
+        any result: same selected layers, same scores, same CIs."""
+        import os
+
+        import visreps_tpu.core.db as db
+        import visreps_tpu.data.neural as neural_mod
+        import visreps_tpu.evals as evals
+
+        fx = self._tiny_fixture(tmp_path, monkeypatch)
+        monkeypatch.setenv("NSD_DATA_DIR", os.environ.get("NSD_DATA_DIR", ""))
+        monkeypatch.setattr(neural_mod, "NSD_STIMULI_HDF5",
+                            neural_mod.NSD_STIMULI_HDF5)
+        monkeypatch.setattr(db, "RESULTS_DB_PATH", db.RESULTS_DB_PATH)
+        monkeypatch.setattr(evals, "RESULTS_DB_PATH", evals.RESULTS_DB_PATH)
+
+        meta = fx.ensure_fixture()
+        runs = {}
+        for retain in (False, True):
+            stages._e2e_setup(meta, db_path=tmp_path / f"retain_{retain}.db")
+            cfg = stages._e2e_cfg(meta, range(meta["n_subjects"]), 16, 2,
+                                  n_bootstrap=8, n_select=10,
+                                  model_name="AlexNet", srp_k=64)
+            cfg.acts_retain = retain
+            runs[retain] = evals.eval(cfg)
+        assert len(runs[True]) == len(runs[False]) == 4
+        for a, b in zip(runs[False], runs[True]):
+            assert a["layer"] == b["layer"]
+            np.testing.assert_allclose(a["score"], b["score"], atol=1e-5)
+            np.testing.assert_allclose(a["ci_low"], b["ci_low"], atol=1e-5)
+            np.testing.assert_allclose(a["ci_high"], b["ci_high"], atol=1e-5)
+
+    def test_e2e_mp_matches_single_process(self, tmp_path, monkeypatch):
+        """Subject-sharded multi-process e2e writes the same rows as the
+        single-process run (same layers/scores/CIs per (subject, region))."""
+        import os
+        import sqlite3
+
+        import visreps_tpu.core.db as db
+        import visreps_tpu.data.neural as neural_mod
+        import visreps_tpu.evals as evals
+
+        fx = self._tiny_fixture(tmp_path, monkeypatch)
+        monkeypatch.setattr(neural_mod, "NSD_STIMULI_HDF5",
+                            neural_mod.NSD_STIMULI_HDF5)
+        monkeypatch.setattr(db, "RESULTS_DB_PATH", db.RESULTS_DB_PATH)
+        monkeypatch.setattr(evals, "RESULTS_DB_PATH", evals.RESULTS_DB_PATH)
+        # workers re-import the fixture module: pass the scale via env
+        monkeypatch.setenv("VISREPS_BENCH_FIXTURE", str(tmp_path / "fx"))
+        monkeypatch.setenv("VISREPS_BENCH_N_SHARED", "12")
+        monkeypatch.setenv("VISREPS_BENCH_N_UNIQUE", "20")
+        monkeypatch.setenv("VISREPS_BENCH_N_SUBJECTS", "2")
+        monkeypatch.setenv("VISREPS_BENCH_N_REGIONS", "2")
+        monkeypatch.setenv("VISREPS_BENCH_N_VOXELS", "8")
+        monkeypatch.setenv("VISREPS_BENCH_IMG_SIZE", "64")
+        monkeypatch.setenv("VISREPS_BENCH_N_JPEG", "6")
+        monkeypatch.setenv("VISREPS_BENCH_CPU", "1")
+        monkeypatch.setenv("NSD_DATA_DIR", str(tmp_path / "fx"))
+
+        meta = fx.ensure_fixture()
+
+        # single-process reference rows
+        stages._e2e_setup(meta, db_path=tmp_path / "single.db")
+        cfg = stages._e2e_cfg(meta, range(meta["n_subjects"]), 16, 2,
+                              n_bootstrap=8, n_select=10,
+                              model_name="AlexNet", srp_k=64)
+        evals.eval(cfg)
+
+        out = stages.stage_e2e_measured_mp(
+            n_procs=2, batch_size=16,
+            worker_env={"VISREPS_E2E_NBOOT": "8", "VISREPS_E2E_NSEL": "10",
+                        "VISREPS_E2E_SRPK": "64", "VISREPS_E2E_WORKERS": "2"})
+        assert out["complete"], out
+        assert out["db_rows"] == out["expected_rows"] == 4
+
+        q = ("SELECT region, subject_idx, layer, score, ci_low, ci_high "
+             "FROM results ORDER BY region, subject_idx")
+        with sqlite3.connect(str(tmp_path / "single.db")) as c:
+            single = c.execute(q).fetchall()
+        with sqlite3.connect(out["db_path"]) as c:
+            mp = c.execute(q).fetchall()
+        assert len(single) == len(mp) == 4
+        for s, m in zip(single, mp):
+            assert s[:3] == m[:3]  # region, subject, selected layer
+            np.testing.assert_allclose(s[3:], m[3:], atol=1e-5)
 
     def test_decode_stage_tiny(self, tmp_path, monkeypatch):
         self._tiny_fixture(tmp_path, monkeypatch)

@@ -291,6 +291,53 @@ def stage_encoding_delta(n_train=9000, n_test=1000, d=4096, n_taps=14,
     }
 
 
+def _e2e_setup(meta, db_path=None):
+    """Point the repo's data/db globals at the benchmark fixture.
+
+    Returns (cfg_base_dict, db_path). A shared db_path makes concurrent
+    subject-sharded workers write one results.db (WAL + OR REPLACE —
+    the same multi-writer story the SLURM runners rely on).
+    """
+    import tempfile
+    from pathlib import Path
+
+    os.environ["NSD_DATA_DIR"] = str(Path(meta["pickle"]).parent)
+
+    import visreps_tpu.core.db as db
+    import visreps_tpu.data.neural as neural_mod
+    import visreps_tpu.evals as evals
+
+    neural_mod.NSD_STIMULI_HDF5 = meta["hdf5"]
+    if db_path is None:
+        db_path = Path(tempfile.mkdtemp(prefix="bench_e2e_")) / "results.db"
+    db.RESULTS_DB_PATH = Path(db_path)
+    evals.RESULTS_DB_PATH = db.RESULTS_DB_PATH
+    return db_path
+
+
+def _e2e_cfg(meta, subjects, batch_size, num_workers, n_bootstrap, n_select,
+             model_name, srp_k):
+    import visreps_tpu.data.neural as neural_mod
+    from visreps_tpu.core.config import Config
+
+    pkl_to_full = {v: k for k, v in neural_mod._NSD_REGION_MAP.items()}
+    cfg = Config({
+        "mode": "eval", "seed": 1, "neural_dataset": "nsd",
+        "subject_idx": list(subjects),
+        "shared_test_subjects": list(range(meta["n_subjects"])),
+        "region": [pkl_to_full[r] for r in meta["regions"]],
+        "analysis": "rsa", "compare_method": "spearman",
+        "bootstrap": True, "n_bootstrap": n_bootstrap, "n_select": n_select,
+        "batchsize": batch_size, "num_workers": num_workers,
+        "load_model_from": "torchvision", "model_name": model_name,
+        "pretrained_dataset": "none", "extract_pre_and_post": True,
+        "srp_k": srp_k, "uint8_transfer": True, "log_expdata": True,
+    })
+    cfg.epoch = -1
+    cfg.cfg_id = "untrained"
+    return cfg
+
+
 def stage_e2e_measured(batch_size=256, num_workers=16, n_bootstrap=1000,
                        n_select=1000, model_name="AlexNet", srp_k=4096):
     """MEASURED wall-clock of the BASELINE.md north-star workload.
@@ -302,38 +349,15 @@ def stage_e2e_measured(batch_size=256, num_workers=16, n_bootstrap=1000,
     (benchmarks/fixture.py; synthetic pixels, authentic data path).
     Replaces round 1's stage-composed projection (VERDICT item 3).
     """
-    import tempfile
-    from pathlib import Path
-
     from visreps_tpu.benchmarks.fixture import ensure_fixture
 
     meta = ensure_fixture()
-    os.environ["NSD_DATA_DIR"] = str(Path(meta["pickle"]).parent)
+    db_path = _e2e_setup(meta)
 
-    import visreps_tpu.core.db as db
-    import visreps_tpu.data.neural as neural_mod
     import visreps_tpu.evals as evals
-    from visreps_tpu.core.config import Config
 
-    neural_mod.NSD_STIMULI_HDF5 = meta["hdf5"]
-    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
-    db.RESULTS_DB_PATH = Path(tmp) / "results.db"
-    evals.RESULTS_DB_PATH = db.RESULTS_DB_PATH
-
-    pkl_to_full = {v: k for k, v in neural_mod._NSD_REGION_MAP.items()}
-    cfg = Config({
-        "mode": "eval", "seed": 1, "neural_dataset": "nsd",
-        "subject_idx": list(range(meta["n_subjects"])),
-        "region": [pkl_to_full[r] for r in meta["regions"]],
-        "analysis": "rsa", "compare_method": "spearman",
-        "bootstrap": True, "n_bootstrap": n_bootstrap, "n_select": n_select,
-        "batchsize": batch_size, "num_workers": num_workers,
-        "load_model_from": "torchvision", "model_name": model_name,
-        "pretrained_dataset": "none", "extract_pre_and_post": True,
-        "srp_k": srp_k, "uint8_transfer": True, "log_expdata": True,
-    })
-    cfg.epoch = -1
-    cfg.cfg_id = "untrained"
+    cfg = _e2e_cfg(meta, range(meta["n_subjects"]), batch_size, num_workers,
+                   n_bootstrap, n_select, model_name, srp_k)
 
     t0 = time.perf_counter()
     results = evals.eval(cfg)
@@ -341,7 +365,7 @@ def stage_e2e_measured(batch_size=256, num_workers=16, n_bootstrap=1000,
 
     import sqlite3
 
-    conn = sqlite3.connect(str(db.RESULTS_DB_PATH))
+    conn = sqlite3.connect(str(db_path))
     n_rows = conn.execute("SELECT COUNT(*) FROM results").fetchone()[0]
     conn.close()
     return {
@@ -350,6 +374,115 @@ def stage_e2e_measured(batch_size=256, num_workers=16, n_bootstrap=1000,
         "n_voxels_per_region": meta["n_voxels_per_region"],
         "stimulus_hw": meta["img_size"],
         **{f"phase_{k}": round(v, 1) for k, v in evals.LAST_PHASE_TIMES.items()},
+    }
+
+
+def stage_e2e_worker():
+    """One subject-sharded worker of the multi-process measured e2e.
+
+    Env contract (set by stage_e2e_measured_mp):
+      VISREPS_E2E_SUBJECTS  comma-separated subject indices to process
+      VISREPS_E2E_DB        shared results.db path
+      VISREPS_E2E_BATCH     extraction batch size (HBM is split across
+                            workers; smaller batches shrink the
+                            per-forward tap transients)
+    """
+    from visreps_tpu.benchmarks.fixture import ensure_fixture
+
+    subjects = [int(s) for s in os.environ["VISREPS_E2E_SUBJECTS"].split(",")]
+    meta = ensure_fixture()
+    _e2e_setup(meta, db_path=os.environ["VISREPS_E2E_DB"])
+
+    import visreps_tpu.evals as evals
+
+    env = os.environ.get
+    cfg = _e2e_cfg(meta, subjects,
+                   int(env("VISREPS_E2E_BATCH", "128")),
+                   num_workers=int(env("VISREPS_E2E_WORKERS", "16")),
+                   n_bootstrap=int(env("VISREPS_E2E_NBOOT", "1000")),
+                   n_select=int(env("VISREPS_E2E_NSEL", "1000")),
+                   model_name=env("VISREPS_E2E_MODEL", "AlexNet"),
+                   srp_k=int(env("VISREPS_E2E_SRPK", "4096")))
+
+    t0 = time.perf_counter()
+    results = evals.eval(cfg)
+    wall = time.perf_counter() - t0
+    return {
+        "worker_wall_s": wall, "subjects": subjects, "n_results": len(results),
+        **{f"phase_{k}": round(v, 1) for k, v in evals.LAST_PHASE_TIMES.items()},
+    }
+
+
+def stage_e2e_measured_mp(n_procs=3, batch_size=128, worker_env=None):
+    """Subject-sharded multi-process measured e2e (one chip, K processes).
+
+    The relay's host→device path is per-process latency-bound
+    (~60-70 MB/s each; ~3× aggregate across 3 processes — measured,
+    see NOTES_ROUND3.md), and NSD subjects' train stimuli are disjoint
+    — so K processes each running the UNCHANGED `evals.eval` over a
+    subject subset shard the 11 GB pixel upload K ways. Each worker
+    intersects shared-test ids over the FULL subject list
+    (cfg.shared_test_subjects) and retains only its phase-1 selection
+    rows on device (get_activations retain_ids), so K workers fit one
+    16 GB chip. Results land in ONE shared results.db and are identical
+    to the single-process run by construction (per-(subject, region)
+    pipelines are independent; bootstrap seeds are per-pair).
+
+    On real (non-relay) hosts PCIe makes the per-process ceiling moot,
+    but subject sharding still parallelizes decode + per-subject
+    phases. Reference workload: visreps/evals.py:222-400 over
+    dataloaders/neural.py:121-188.
+    """
+    import subprocess
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    from visreps_tpu.benchmarks.fixture import ensure_fixture
+
+    meta = ensure_fixture()
+    n_subjects = meta["n_subjects"]
+    n_procs = min(n_procs, n_subjects)
+    groups = [list(range(n_subjects))[i::n_procs] for i in range(n_procs)]
+
+    db_path = Path(tempfile.mkdtemp(prefix="bench_e2e_mp_")) / "results.db"
+    procs = []
+    t0 = time.perf_counter()
+    for g in groups:
+        env = dict(os.environ, **(worker_env or {}),
+                   VISREPS_E2E_SUBJECTS=",".join(map(str, g)),
+                   VISREPS_E2E_DB=str(db_path),
+                   VISREPS_E2E_BATCH=str(batch_size))
+        procs.append((g, subprocess.Popen(
+            [sys.executable, "-m", "visreps_tpu.benchmarks.stages", "e2e_worker"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True)))
+    workers = []
+    ok = True
+    for g, p in procs:
+        out, _ = p.communicate()
+        line = next((l for l in reversed(out.splitlines())
+                     if l.startswith("{")), None)
+        if p.returncode != 0 or line is None:
+            ok = False
+            workers.append({"subjects": g, "rc": p.returncode})
+        else:
+            workers.append(json.loads(line))
+    wall = time.perf_counter() - t0
+
+    import sqlite3
+
+    n_rows = 0
+    if db_path.exists():
+        conn = sqlite3.connect(str(db_path))
+        n_rows = conn.execute("SELECT COUNT(*) FROM results").fetchone()[0]
+        conn.close()
+    expected = n_subjects * len(meta["regions"])
+    return {
+        "e2e_measured_s": wall, "n_procs": n_procs, "db_rows": n_rows,
+        "expected_rows": expected, "complete": ok and n_rows == expected,
+        "n_stimuli": meta["n_stimuli"], "workers": workers,
+        "db_path": str(db_path),
     }
 
 
@@ -452,6 +585,8 @@ STAGES = {
     "encoding_e2e_highest": lambda: stage_encoding_e2e(cv_precision="highest"),
     "encoding_delta": stage_encoding_delta,
     "e2e_measured": stage_e2e_measured,
+    "e2e_measured_mp": stage_e2e_measured_mp,
+    "e2e_worker": stage_e2e_worker,
     "decode": stage_decode,
     "h2d": stage_h2d,
 }

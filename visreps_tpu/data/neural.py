@@ -141,6 +141,14 @@ def load_all_nsd_data(cfg, subjects=None, regions=None) -> Dict:
                     if regions is None or name in regions]
     nsd = load_pickle(os.path.join(get_env_var("NSD_DATA_DIR"), "nsd_data.pkl"))
     shared = set(nsd["shared_ids"])
+    # Protocol-exact shared-test set under subject sharding: a worker
+    # processing a subject SUBSET must still intersect test ids over the
+    # FULL subject list (cfg.shared_test_subjects), else its
+    # intersection can be a superset of the 8-subject one and its
+    # scores drift from the single-process run.
+    test_subjects = None
+    if cfg is not None and hasattr(cfg, "get"):
+        test_subjects = cfg.get("shared_test_subjects")
 
     neural: Dict = {}
     all_ids: set = set()
@@ -159,6 +167,14 @@ def load_all_nsd_data(cfg, subjects=None, regions=None) -> Dict:
             }
             if region_key == region_pairs[0][0]:
                 per_subject_test.append(set(test_ids))
+
+    if test_subjects is not None:
+        for subj in test_subjects:
+            if subj in subjects:
+                continue  # already counted above
+            arr = ResponseArray(nsd["data"][region_pairs[0][0]][subj])
+            per_subject_test.append(
+                {str(int(i)) for i in arr.ids if int(i) in shared})
 
     shared_test_ids = sorted(set.intersection(*per_subject_test), key=int)
     stimuli = LazyHdf5Dict(NSD_STIMULI_HDF5, "imgBrick", all_ids)

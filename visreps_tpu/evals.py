@@ -93,6 +93,36 @@ def _neural_tensor(test_neural_dict: dict, ids) -> np.ndarray:
     return arr.squeeze() if arr.ndim > 2 else arr
 
 
+def _selection_plan(neural, subjects, regions, stimuli, n_select):
+    """Pre-extraction seed-42 phase-1 subsample per (region, subject).
+
+    Replicates the in-pipeline draw exactly: extraction order is the
+    StimuliDataset's sorted-key order (data/loader.py:104), matched is
+    that order filtered to the pair's train ids, and the subsample is
+    RandomState(42) over the matched length (reference protocol:
+    evals.py:237-262). Knowing the subsample BEFORE extraction lets
+    `get_activations(retain_ids=...)` drop the ~90% of SRP rows that
+    phase 1 never reads. Returns ({(region, subj): [ids in draw
+    order]}, union set).
+    """
+    order = [str(k) for k in sorted(stimuli.keys())]
+    plan, union = {}, set()
+    for region in regions:
+        for subj in subjects:
+            targets = neural[region][subj]["train"]
+            matched = [k for k in order if k in targets]
+            n_train = len(matched)
+            if n_select is not None and n_select < n_train:
+                sel = np.random.RandomState(42).choice(
+                    n_train, size=n_select, replace=False)
+            else:
+                sel = np.arange(n_train)
+            ids_sel = [matched[i] for i in sel]
+            plan[(region, subj)] = ids_sel
+            union.update(ids_sel)
+    return plan, union
+
+
 def _rdm(x, mesh, cfg) -> jnp.ndarray:
     """compute_rdm, routed through the stimulus-axis-sharded kernel
     when the matrix is big enough to amortize the all-gather."""
@@ -183,15 +213,30 @@ def eval(cfg: Config, mesh=None):
 
     transform = get_transform("imgnet", normalize=not cfg.get("uint8_transfer", False))
     dl = make_stimuli_loader(stimuli, transform, cfg.batchsize, cfg.get("num_workers", 16))
+
+    analysis = cfg.get("analysis", "rsa").lower()
+    # RSA phase 1 only ever reads the n_select seed-42 subsample per
+    # (region, subject); computing that plan up front lets extraction
+    # discard every other row at accumulation time (all stimuli still
+    # run the full all-tap forward). Encoding needs every train row, so
+    # retention stays off there.
+    sel_plan = retain = None
+    if analysis == "rsa" and cfg.get("acts_retain", True):
+        sel_plan, retain = _selection_plan(
+            all_data["neural"], subjects, regions, stimuli, cfg.get("n_select", 1000))
+        if len(retain) >= len(stimuli):
+            retain = None  # nothing to drop
+
     store = cfg.get("acts_store", "auto")
     if store == "auto":
         # Keep activations HBM-resident (bf16) when they fit — selection
         # then runs without host round trips. ~2 bytes × N × k × taps.
         import jax as _jax
 
-        est_bytes = 2 * len(stimuli) * sum(extractor.out_dims().values())
+        n_store = len(retain) if retain is not None else len(stimuli)
+        est_bytes = 2 * n_store * sum(extractor.out_dims().values())
         store = "device" if (_jax.default_backend() != "cpu" and est_bytes < 9e9) else "host"
-    acts, ids = extractor.get_activations(dl, store=store)
+    acts, ids = extractor.get_activations(dl, store=store, retain_ids=retain)
     # SRP matrices are no longer needed (phase 2 re-extracts exact
     # single layers); at 73k device-store scale their ~3.7 GB of HBM is
     # the difference between fitting and OOM on a 16 GB chip.
@@ -199,9 +244,9 @@ def eval(cfg: Config, mesh=None):
     LAST_PHASE_TIMES["extraction_s"] = timer.mark("extraction")
     rprint("  Activations extracted once for all subjects/regions", style="success")
 
-    analysis = cfg.get("analysis", "rsa").lower()
     if analysis == "rsa":
-        return _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose, mesh)
+        return _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions,
+                         verbose, mesh, sel_plan=sel_plan)
     if analysis == "encoding_score":
         return _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose, mesh)
     raise ValueError(f"Unknown analysis method: {analysis}")
@@ -261,7 +306,7 @@ def _eval_things(cfg, verbose, mesh=None):
 
 # ──────────────────── RSA branch ─────────────────────────
 def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
-              mesh=None) -> List[Dict]:
+              mesh=None, sel_plan=None) -> List[Dict]:
     """Two-phase RSA. Reference: evals.py:222-400."""
     method = cfg.get("compare_method", "spearman").lower()
     bootstrap = cfg.get("bootstrap", False)
@@ -305,19 +350,35 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
     on_device = isinstance(next(iter(acts.values())), jax.Array)
     same_width = len({a.shape[1] for a in acts.values()}) == 1
 
+    id_pos = {str(k): i for i, k in enumerate(ids)}
+
     def _pair_rows(region, subj):
         targets = neural[region][subj]["train"]
-        idx = [i for i, k in enumerate(ids) if str(k) in targets]
-        matched = [str(ids[i]) for i in idx]
-        n_train = len(matched)
-        if n_select is not None and n_select < n_train:
-            sel = np.random.RandomState(42).choice(n_train, size=n_select,
-                                                   replace=False)
+        if sel_plan is not None:
+            # Pre-extraction plan: same ids, same draw order as the
+            # in-pipeline path below (see _selection_plan) — required
+            # when extraction retained only the planned rows.
+            sel_ids = sel_plan[(region, subj)]
+            missing = [k for k in sel_ids if k not in id_pos]
+            if missing:
+                raise RuntimeError(
+                    f"{len(missing)} planned selection stimuli missing from "
+                    f"extraction output (e.g. {missing[:3]})")
+            rows = np.asarray([id_pos[k] for k in sel_ids])
+            sel_neural = np.stack(
+                [np.asarray(targets[k], np.float32) for k in sel_ids])
         else:
-            sel = np.arange(n_train)
-        rows = np.asarray(idx)[sel]
-        sel_neural = np.stack(
-            [np.asarray(targets[matched[i]], np.float32) for i in sel])
+            idx = [i for i, k in enumerate(ids) if str(k) in targets]
+            matched = [str(ids[i]) for i in idx]
+            n_train = len(matched)
+            if n_select is not None and n_select < n_train:
+                sel = np.random.RandomState(42).choice(n_train, size=n_select,
+                                                       replace=False)
+            else:
+                sel = np.arange(n_train)
+            rows = np.asarray(idx)[sel]
+            sel_neural = np.stack(
+                [np.asarray(targets[matched[i]], np.float32) for i in sel])
         if sel_neural.ndim > 2:
             sel_neural = sel_neural.squeeze()
         return rows, sel_neural

@@ -229,7 +229,7 @@ class FeatureExtractor:
 
     # ── bulk extraction with SRP ─────────────────────────────────
     def get_activations(self, loader: Iterable, total: int | None = None,
-                        store: str = "host"):
+                        store: str = "host", retain_ids=None):
         """All-tap SRP activations over a loader of (batch, keys).
 
         store="host": ({name: np.float32 (N, k)}, ids) — the reference
@@ -239,26 +239,46 @@ class FeatureExtractor:
         jax arrays — downstream RDM/selection math then runs without
         re-uploading (73k × 4096 × 14 taps ≈ 8.5 GB bf16; crucial when
         host↔device bandwidth is the bottleneck).
+        retain_ids: optional set of stimulus ids (str) to KEEP. Every
+        stimulus is still uploaded and run through the all-tap SRP
+        forward (the full workload); rows no downstream consumer reads
+        are dropped at accumulation time. The RSA eval's phase 1 only
+        ever reads the n_select-per-subject seed-42 subsample, so
+        retaining just that union cuts the 73k-scale device store from
+        ~8.4 GB to < 1 GB — which is what lets several extraction
+        processes share one 16 GB chip.
         """
         proj = self._proj_dict()
         dims = self.out_dims()
         chunks: dict[str, list] = {name: [] for name in dims}
         ids: list = []
-        pending = None  # (device result dict, n_valid)
+        pending = None  # (device result dict, row index or n_valid)
 
         def drain(p):
-            res, n = p
+            res, keep = p
             if store == "device":
                 for name, arr in res.items():
-                    chunks[name].append(arr[:n].astype(jnp.bfloat16))
+                    chunks[name].append(arr[keep].astype(jnp.bfloat16))
             else:
                 host = jax.device_get(res)
                 for name, arr in host.items():
-                    chunks[name].append(arr[:n])
+                    chunks[name].append(arr[keep])
 
         for xd, keys, n in self._device_feed(loader):
-            ids.extend(keys)
-            cur = (self._srp_step(self.state.variables, proj, xd), n)
+            if retain_ids is None:
+                ids.extend(keys)
+                keep = slice(None, n)
+            else:
+                kept = [i for i, k in enumerate(keys[:n]) if str(k) in retain_ids]
+                if not kept:
+                    # Still dispatch the forward: the workload is every
+                    # stimulus through every tap, retained or not.
+                    res = self._srp_step(self.state.variables, proj, xd)
+                    del res
+                    continue
+                ids.extend(keys[i] for i in kept)
+                keep = np.asarray(kept, np.int32)
+            cur = (self._srp_step(self.state.variables, proj, xd), keep)
             if pending is not None:
                 drain(pending)
             pending = cur

@@ -1,42 +1,50 @@
-"""Sort-free batched Kendall tau-a bootstrap kernel.
+"""Batched Kendall tau-a bootstrap as three static MXU contractions.
 
 The reference scores Kendall bootstraps with a serial scipy call per
 iteration (reference: visreps/analysis/rsa.py:22-47, evals.py:355-373).
 The general device path (ops/stats.kendall_tau_a) replaces scipy but
 still pays O(M log² M) merge rounds PER ITERATION (~10/s at n≈1000).
 
-This kernel exploits the subset structure of bootstrap resampling the
-same way the Spearman kernel does (ops/bootstrap._spearman_fast_body):
-every iteration's pair set is a SUBSET of the full RDM triangle, so the
-entire sorting structure is computed ONCE (`kendall_precompute`), and
-each iteration reduces to masked counting. Three kernel-shaping rules,
-each worth integer factors on v5e (measured via /tmp probes, r3):
+Like the Spearman fast path (ops/bootstrap._spearman_fast_body), this
+kernel exploits the subset structure of bootstrap resampling: every
+iteration's pair set is a subset of the full RDM triangle, so ALL
+ordering structure is computed once and each iteration reduces to a
+masked pair count. Earlier revisions evaluated that count with a
+merge tree (log₂ P levels of (P, c) gathers + prefix scans) and
+plateaued ~300 bootstraps/s — the levels are pure HBM traffic. This
+revision removes the tree entirely:
 
-  * LANE-MAJOR masks: iterations live in the LAST axis — (P, chunk)
-    tensors — so every permutation/boundary gather reads a contiguous
-    chunk-wide row instead of one scalar (the vmapped scalar layout
-    measured ~110 bootstraps/s; per-step cost was nearly independent
-    of lane width, so wide chunks amortize it).
-  * FOLDED LOW LEVELS: merge-tree levels with block width < _FOLD_B
-    are replaced by ONE batched pair-matrix contraction — the
-    within-32-block strict-inversion indicator A[b, i, j] is static,
-    so the masked count is einsum("bij,bjc->bic")·mask, riding the MXU
-    instead of five rounds of prefix scans.
-  * BLOCK-LOCAL PREFIXES: the remaining levels only need prefix counts
-    WITHIN each merged block, so their cumsums run over the (short)
-    block axis of (nb, B, c) — log(B) scan passes instead of log(P).
+Let lex = sort by (x, y) and σ = STABLE argsort of y over the lex
+arrangement. Stability makes the discordant count tie-free: within an
+x-tie group y is ascending, and within a y-tie group σ preserves lex
+order, so
 
-Tie-pair corrections (t_x, t_y, t_xy) restricted to the mask use
-global cumsums over precomputed tie-group-start gathers; tie handling
-is EXACT tau-a semantics (identical to ops/stats.kendall_tau_a /
-scipy's tau-b→tau-a conversion) — not an approximation.
+    D = #{ pairs: lexpos_i < lexpos_j  AND  σpos_i > σpos_j }
+
+is a pure two-permutation inversion count (no value comparisons).
+Partition the pairs by B-sized position blocks (B = 1024, MXU-shaped):
+
+  1. same lex block   → m_bᵀ A_b m_b with A the static in-block
+                        inversion indicator — one batched einsum;
+  2. same y block,
+     different lex    → m'_tᵀ A2_t m'_t over the σ arrangement;
+  3. different both   → a quadratic form over the (lexblock, yblock)
+                        joint histogram J (built by one one-hot
+                        einsum), with two 512-length prefix sums.
+
+Every heavy op is a dense contraction riding the MXU; the only
+remaining (P, c) gathers are the two mask permutations and three
+tie-correction boundary lookups. Exclusive prefixes for the tie terms
+(t_x, t_y, t_xy — exact tau-a semantics, identical to scipy's
+tau-b→tau-a conversion) also run as a strict-lower-triangular matmul
+plus a 512-length carry, not a log-depth scan.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-_FOLD_B = 32  # merge levels below this block width fold into one matmul
+_BLOCK = 1024  # position-block width for the pair-matrix contractions
 
 
 def _next_pow2(n: int) -> int:
@@ -57,34 +65,18 @@ def _group_starts(eq_prev: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.associative_scan(jnp.maximum, jnp.where(eq_prev, 0, idx))
 
 
-def _binary_upper_bound(L: jnp.ndarray, q: jnp.ndarray, w: int) -> jnp.ndarray:
-    """Per-row upper-bound positions of q in sorted rows L (width w).
-
-    Explicit take_along_axis binary search (avoids searchsorted's
-    pathological lowering on the remote-compile toolchain, see
-    ops/stats._count_inversions).
-    """
-    lo = jnp.zeros(q.shape, jnp.int32)
-    hi = jnp.full(q.shape, w, jnp.int32)
-    for _ in range(max(1, w.bit_length())):
-        mid = (lo + hi) // 2
-        vals = jnp.take_along_axis(L, jnp.clip(mid, 0, w - 1), axis=1)
-        go_right = (vals <= q) & (mid < w)
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    return lo  # #elements in L ≤ q
-
-
 def kendall_precompute(va: jnp.ndarray, vb: jnp.ndarray):
-    """Build the shared sorting structure for masked tau-a evaluation.
+    """Build the static ordering structure for masked tau-a evaluation.
 
-    va, vb: (M,) full-triangle value vectors. Returns a dict with the
-    tie-group structures, the folded low-level pair matrix `A`
-    (nb0, B0, B0), and per-level (perm, lgA, lgB, nb, B) tuples for the
-    block-local levels; see module docstring for the scheme.
+    va, vb: (M,) full-triangle value vectors. Returns the two mask
+    permutations (lex, y-stable), tie-group starts, and the three
+    block-structured contraction operands (A, A2, E) described in the
+    module docstring.
     """
     M = int(va.shape[0])
     P = _next_pow2(max(M, 2))
+    B = min(_BLOCK, P)
+    nb = P // B
     va = va.astype(jnp.float32)
     vb = vb.astype(jnp.float32)
 
@@ -98,7 +90,13 @@ def kendall_precompute(va: jnp.ndarray, vb: jnp.ndarray):
     perm0 = jnp.concatenate([order0.astype(jnp.int32),
                              jnp.arange(M, P, dtype=jnp.int32)])
 
-    # Tie-group starts in the lexsorted arrangement (pad = own group each).
+    # Stable y-sort of the lex arrangement: pads (y=+inf) stay last.
+    sigma = jnp.argsort(y_pad, stable=True).astype(jnp.int32)
+    spos = jnp.zeros((P,), jnp.int32).at[sigma].set(
+        jnp.arange(P, dtype=jnp.int32))          # lex slot -> y position
+    perm_y = perm0[sigma]                        # y position -> triangle slot
+
+    # Tie-group starts, lex arrangement (pad = own group each).
     eq_x = jnp.concatenate([jnp.zeros((1,), bool), xs[1:] == xs[:-1],
                             jnp.zeros((P - M,), bool)])
     eq_xy = jnp.concatenate([
@@ -107,58 +105,39 @@ def kendall_precompute(va: jnp.ndarray, vb: jnp.ndarray):
     sg_x = _group_starts(eq_x)
     sg_xy = _group_starts(eq_xy)
 
-    # vb-sorted arrangement for t_y.
-    order_b = jnp.argsort(vb).astype(jnp.int32)
-    ybs = vb[order_b]
-    perm_b = jnp.concatenate([order_b, jnp.arange(M, P, dtype=jnp.int32)])
-    eq_y = jnp.concatenate([jnp.zeros((1,), bool), ybs[1:] == ybs[:-1],
-                            jnp.zeros((P - M,), bool)])
+    # Tie-group starts over the y-sorted arrangement.
+    ysorted = y_pad[sigma]
+    eq_y = jnp.concatenate([jnp.zeros((1,), bool),
+                            (ysorted[1:] == ysorted[:-1]) & jnp.isfinite(ysorted[1:])])
     sg_y = _group_starts(eq_y)
 
-    # Folded low levels: strict-inversion pair matrix within B0-blocks
-    # of the level-1 (lexsorted) arrangement. Pad slots carry y = +inf
-    # but their mask is always 0, so spurious A entries contribute 0.
-    B0 = min(_FOLD_B, P)
-    nb0 = P // B0
-    yb = y_pad.reshape(nb0, B0)
-    i_lt_j = jnp.arange(B0)[:, None] < jnp.arange(B0)[None, :]
-    A = ((yb[:, :, None] > yb[:, None, :]) & i_lt_j[None]).astype(jnp.float32)
+    iu = jnp.arange(B)
+    i_lt_j = iu[:, None] < iu[None, :]
 
-    # Merge tree: build arrangements by repeated within-block sorting.
-    # Levels with w < B0 are covered by A; store (perm, local gA/gB)
-    # for the rest. lgA/lgB index a per-block (B+1)-long exclusive
-    # prefix layout: lex[b*(B+1)+k] = #selected in block b's first k.
-    a = y_pad
-    perm = perm0
-    levels = []
-    w = 1
-    while w < P:
-        nb = P // (2 * w)
-        B = 2 * w
-        blocks = a.reshape(nb, 2, w)
-        if w >= B0:
-            L, R = blocks[:, 0, :], blocks[:, 1, :]
-            ub = _binary_upper_bound(L, R, w)  # (nb, w): #L ≤ r
-            blk = (jnp.arange(nb, dtype=jnp.int32) * (B + 1))[:, None]
-            lgA_R = blk + w                      # left-block total
-            lgB_R = blk + ub.astype(jnp.int32)   # #L ≤ r
-            zero = jnp.zeros((nb, w), jnp.int32)  # left rows: lex[0]−lex[0]
-            lgA = jnp.concatenate([zero, jnp.broadcast_to(lgA_R, (nb, w))],
-                                  axis=1).reshape(-1)
-            lgB = jnp.concatenate([zero, lgB_R], axis=1).reshape(-1)
-            levels.append((perm, lgA, lgB, nb, B))
-        # merge by re-sorting each 2w block, tracking slot identity
-        merged = blocks.reshape(nb, 2 * w)
-        o = jnp.argsort(merged, axis=1, stable=True)
-        a = jnp.take_along_axis(merged, o, axis=1).reshape(-1)
-        perm = jnp.take_along_axis(perm.reshape(nb, 2 * w), o, axis=1).reshape(-1)
-        w *= 2
+    # (1) same-lex-block inversions: σpos decreasing while lexpos increasing
+    sp = spos.reshape(nb, B)
+    A = ((sp[:, :, None] > sp[:, None, :]) & i_lt_j[None]).astype(jnp.bfloat16)
+
+    # (2) same-y-block, different-lex-block: in the σ arrangement the
+    # element at the larger y position (v) must come from a strictly
+    # smaller lex block.
+    lexblk = (sigma // B).reshape(nb, B)
+    A2 = ((lexblk[:, None, :] < lexblk[:, :, None]) & i_lt_j[None]
+          ).astype(jnp.bfloat16)
+
+    # (3) joint-histogram one-hot: E[p, i, s] = [yblock of lex slot
+    # (p, i) == s]
+    yblk = (spos // B).reshape(nb, B)
+    E = (yblk[:, :, None] == jnp.arange(nb)[None, None, :]).astype(jnp.bfloat16)
+
+    # Exclusive-prefix operator (strict lower triangle).
+    T = (iu[:, None] > iu[None, :]).astype(jnp.bfloat16)
 
     return {
-        "P": P, "M": M,
-        "perm0": perm0, "sg_x": sg_x, "sg_xy": sg_xy,
-        "perm_b": perm_b, "sg_y": sg_y,
-        "A": A, "B0": B0, "levels": levels,
+        "P": P, "M": M, "B": B, "nb": nb,
+        "perm0": perm0, "perm_y": perm_y,
+        "sg_x": sg_x, "sg_xy": sg_xy, "sg_y": sg_y,
+        "A": A, "A2": A2, "E": E, "T": T,
     }
 
 
@@ -175,43 +154,55 @@ def _kendall_fast_body(rdm_a, rdm_b, idx, chunk: int):
     va = rdm_a[iu, ju].astype(jnp.float32)
     vb = rdm_b[iu, ju].astype(jnp.float32)
     pre = kendall_precompute(va, vb)
-    P, M, B0 = pre["P"], pre["M"], pre["B0"]
-    nb0 = P // B0
+    P, M, B, nb = pre["P"], pre["M"], pre["B"], pre["nb"]
+    A, A2, E, T = pre["A"], pre["A2"], pre["E"], pre["T"]
+    f32 = jnp.float32
 
     m_pairs = (m_sub * (m_sub - 1)) // 2
-    n0 = jnp.float32(m_pairs) * jnp.float32(m_pairs - 1) / 2.0
+    n0 = f32(m_pairs) * f32(m_pairs - 1) / 2.0
+
+    def excl_prefix(mb):
+        """(nb, B, c) masks → flattened (P, c) exclusive prefix counts."""
+        w = jnp.einsum("ij,bjc->bic", T, mb, preferred_element_type=f32)
+        totals = w[:, -1, :] + mb[:, -1, :].astype(f32)         # (nb, c)
+        carry = jnp.cumsum(totals, axis=0) - totals             # exclusive
+        return (w + carry[:, None, :]).reshape(P, -1)
 
     def batch(ix):  # (c, m_sub) index sets → (c,) tau-a scores
         c = ix.shape[0]
-        inc = jnp.zeros((c, n), jnp.float32).at[
-            jnp.arange(c)[:, None], ix].set(1.0).T          # (n, c)
-        mask = inc[iu] * inc[ju]                             # (M, c) row gathers
+        inc = jnp.zeros((c, n), f32).at[
+            jnp.arange(c)[:, None], ix].set(1.0).T              # (n, c)
+        mask = inc[iu] * inc[ju]                                # (M, c)
         maskp = jnp.concatenate(
-            [mask, jnp.zeros((P - M, c), jnp.float32)], axis=0)
+            [mask, jnp.zeros((P - M, c), f32)], axis=0).astype(jnp.bfloat16)
 
-        def tie_pairs(perm, sg):
-            m = maskp[perm]                                  # (P, c)
-            exc = jnp.cumsum(m, axis=0) - m                  # selected strictly before
-            return jnp.sum(m * (exc - exc[sg]), axis=0)      # (c,)
+        m_lex = maskp[pre["perm0"]].reshape(nb, B, c)           # (nb, B, c)
+        m_y = maskp[pre["perm_y"]].reshape(nb, B, c)
 
-        t_x = tie_pairs(pre["perm0"], pre["sg_x"])
-        t_xy = tie_pairs(pre["perm0"], pre["sg_xy"])
-        t_y = tie_pairs(pre["perm_b"], pre["sg_y"])
+        exc_lex = excl_prefix(m_lex)                            # (P, c) f32
+        exc_y = excl_prefix(m_y)
+        ml_flat = m_lex.reshape(P, c).astype(f32)
+        my_flat = m_y.reshape(P, c).astype(f32)
 
-        # Folded low levels: one batched pair-matrix contraction.
-        mp0 = maskp[pre["perm0"]]                            # (P, c)
-        mb0 = mp0.reshape(nb0, B0, c)
-        s = jnp.einsum("bij,bjc->bic", pre["A"], mb0)
-        D = jnp.sum(mb0 * s, axis=(0, 1))                    # (c,)
+        def tie_pairs(m, exc, sg):
+            return jnp.sum(m * (exc - exc[sg]), axis=0)         # (c,)
 
-        # Remaining levels: block-local exclusive prefixes.
-        for perm, lgA, lgB, nb, B in pre["levels"]:
-            m = maskp[perm]                                  # (P, c)
-            mb = m.reshape(nb, B, c)
-            lex = jnp.concatenate(
-                [jnp.zeros((nb, 1, c), jnp.float32), jnp.cumsum(mb, axis=1)],
-                axis=1).reshape(nb * (B + 1), c)
-            D = D + jnp.sum(m * (lex[lgA] - lex[lgB]), axis=0)
+        t_x = tie_pairs(ml_flat, exc_lex, pre["sg_x"])
+        t_xy = tie_pairs(ml_flat, exc_lex, pre["sg_xy"])
+        t_y = tie_pairs(my_flat, exc_y, pre["sg_y"])
+
+        # (1) same lex block
+        s1 = jnp.einsum("bij,bjc->bic", A, m_lex, preferred_element_type=f32)
+        D = jnp.einsum("bic,bic->c", m_lex.astype(f32), s1)
+        # (2) same y block, different lex block
+        s2 = jnp.einsum("tuv,tvc->tuc", A2, m_y, preferred_element_type=f32)
+        D = D + jnp.einsum("tuc,tuc->c", m_y.astype(f32), s2)
+        # (3) different lex and y blocks: joint histogram quadratic form
+        J = jnp.einsum("pis,pic->psc", E, m_lex, preferred_element_type=f32)
+        Jp = jnp.cumsum(J, axis=0) - J                          # Σ_{p<q}
+        rev = jnp.cumsum(Jp[:, ::-1, :], axis=1)[:, ::-1, :]
+        G = rev - Jp                                            # Σ_{s>t}
+        D = D + jnp.einsum("qtc,qtc->c", G, J)
 
         c_minus_d = n0 - t_x - t_y + t_xy - 2.0 * D
         return jnp.where(n0 > 0, c_minus_d / n0, jnp.nan)

@@ -190,3 +190,76 @@ class TestMeasuredE2E:
     def test_h2d_stage(self):
         out = stages.stage_h2d(batch_size=4, iters=2)
         assert out["h2d_MB_per_s"] > 0
+
+
+class TestProcsCLI:
+    """End-to-end drive of `run.py --procs K`: K subject-shard worker
+    subprocesses run the real CLI over the tiny on-disk fixture into
+    one shared results.db, matching an in-process single run."""
+
+    def test_procs_cli_e2e_tiny(self, tmp_path, monkeypatch):
+        import os
+        import sqlite3
+
+        import pytest
+
+        import visreps_tpu.core.db as db
+        import visreps_tpu.data.neural as neural_mod
+        from visreps_tpu import evals
+        from visreps_tpu import run as run_mod
+        from visreps_tpu.benchmarks import fixture as fx
+        from visreps_tpu.core.config import load_config
+        from visreps_tpu.core.validate import validate_config
+
+        monkeypatch.setattr(fx, "FIXTURE_DIR", tmp_path / "fx")
+        monkeypatch.setattr(fx, "N_SHARED", 12)
+        monkeypatch.setattr(fx, "N_UNIQUE", 20)
+        monkeypatch.setattr(fx, "N_SUBJECTS", 2)
+        monkeypatch.setattr(fx, "REGIONS", ["early", "ventral"])
+        monkeypatch.setattr(fx, "N_VOXELS", 8)
+        monkeypatch.setattr(fx, "N_STIMULI", 12 + 2 * 20)
+        monkeypatch.setattr(fx, "IMG_SIZE", 64)
+        monkeypatch.setattr(fx, "N_JPEG", 6)
+        meta = fx.ensure_fixture()
+
+        mp_db = tmp_path / "mp.db"
+        # env for the worker subprocesses (inherited via Popen)
+        monkeypatch.setenv("NSD_DATA_DIR", str(tmp_path / "fx"))
+        monkeypatch.setenv("NSD_STIMULI_HDF5", meta["hdf5"])
+        monkeypatch.setenv("VISREPS_RESULTS_DB", str(mp_db))
+        monkeypatch.setenv("VISREPS_PLATFORM", "cpu")
+
+        overrides = [
+            "neural_dataset=nsd", "subject_idx=[0,1]",
+            "region=[early visual stream,ventral visual stream]",
+            "analysis=rsa", "compare_method=spearman",
+            "bootstrap=true", "n_bootstrap=8", "n_select=10",
+            "batchsize=16", "num_workers=2",
+            "load_model_from=torchvision", "model_name=AlexNet",
+            "pretrained_dataset=none", "extract_pre_and_post=true",
+            "srp_k=64", "uint8_transfer=true", "log_expdata=true",
+            "seed=1", "use_mesh=false",
+        ]
+        with pytest.raises(SystemExit) as exc:
+            run_mod.main(["--mode", "eval", "--procs", "2",
+                          "--override", *overrides])
+        assert exc.value.code == 0
+
+        # in-process single run for comparison
+        monkeypatch.setattr(neural_mod, "NSD_STIMULI_HDF5", meta["hdf5"])
+        single_db = tmp_path / "single.db"
+        monkeypatch.setattr(db, "RESULTS_DB_PATH", single_db)
+        cfg = validate_config(load_config(
+            "configs/eval/base.json", overrides + ["mode=eval"]))
+        evals.eval(cfg)
+
+        q = ("SELECT region, subject_idx, layer, score, ci_low, ci_high "
+             "FROM results ORDER BY region, subject_idx")
+        with sqlite3.connect(str(mp_db)) as c:
+            mp_rows = c.execute(q).fetchall()
+        with sqlite3.connect(str(single_db)) as c:
+            single_rows = c.execute(q).fetchall()
+        assert len(mp_rows) == len(single_rows) == 4
+        for s, m in zip(single_rows, mp_rows):
+            assert s[:3] == m[:3]
+            np.testing.assert_allclose(s[3:], m[3:], atol=1e-5)

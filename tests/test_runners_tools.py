@@ -179,3 +179,95 @@ class TestCoarseLabels:
         df = pd.read_csv(outdir / "n_classes_8.csv")
         assert set(df.columns) == {"image", "pca_label"}
         assert df.pca_label.nunique() == 8
+
+
+class TestSubjectShardCLI:
+    """--procs K: subject-sharded eval fan-out (run._shard_worker_argvs)."""
+
+    @staticmethod
+    def _args(procs, mode="eval", override=(), config=None, verbose=False):
+        import argparse
+
+        return argparse.Namespace(procs=procs, mode=mode,
+                                  override=list(override), config=config,
+                                  verbose=verbose)
+
+    def test_shards_round_robin_with_full_test_list(self):
+        from visreps_tpu import run as run_mod
+
+        cfg = Config({"mode": "eval", "subject_idx": [0, 1, 2, 3, 4, 5, 6, 7]})
+        argvs = run_mod._shard_worker_argvs(
+            self._args(3, override=["n_select=16"]), cfg)
+        assert len(argvs) == 3
+        for argv in argvs:
+            assert argv[:4] == ["--mode", "eval", "--procs", "1"]
+            ov = argv[argv.index("--override") + 1:]
+            assert "n_select=16" in ov  # user overrides propagate
+            # every worker pins the FULL subject list for the
+            # shared-test intersection (protocol exactness)
+            assert "shared_test_subjects=[0,1,2,3,4,5,6,7]" in ov
+        shards = [json.loads(next(o.split("=", 1)[1] for o in argv
+                                  if o.startswith("subject_idx=")))
+                  for argv in argvs]
+        assert sorted(s for sh in shards for s in sh) == list(range(8))
+        assert all(shards[i] == list(range(8))[i::3] for i in range(3))
+
+    def test_existing_shared_test_subjects_wins(self):
+        from visreps_tpu import run as run_mod
+
+        cfg = Config({"mode": "eval", "subject_idx": [0, 1],
+                      "shared_test_subjects": [0, 1, 2, 3]})
+        argvs = run_mod._shard_worker_argvs(self._args(2), cfg)
+        for argv in argvs:
+            assert "shared_test_subjects=[0,1,2,3]" in argv
+
+    def test_no_shard_cases(self):
+        from visreps_tpu import run as run_mod
+
+        assert run_mod._shard_worker_argvs(
+            self._args(1), Config({"subject_idx": [0, 1]})) is None
+        assert run_mod._shard_worker_argvs(
+            self._args(4, mode="train"), Config({"subject_idx": [0, 1]})) is None
+        # single subject / THINGS-style no-subject configs fall through
+        assert run_mod._shard_worker_argvs(
+            self._args(4), Config({"subject_idx": [0]})) is None
+        assert run_mod._shard_worker_argvs(self._args(4), Config({})) is None
+        # procs capped at n_subjects
+        argvs = run_mod._shard_worker_argvs(
+            self._args(16), Config({"subject_idx": [0, 1, 2]}))
+        assert len(argvs) == 3
+
+    def test_main_dispatches_workers(self, monkeypatch, tmp_path):
+        """main() with --procs spawns workers instead of evaluating."""
+        import subprocess
+
+        from visreps_tpu import run as run_mod
+
+        launched = []
+
+        class FakeProc:
+            returncode = 0
+
+            def __init__(self, cmd):
+                launched.append(cmd)
+
+            def wait(self):
+                return 0
+
+        monkeypatch.setattr(subprocess, "Popen", lambda cmd: FakeProc(cmd))
+        cfgp = tmp_path / "cfg.json"
+        cfgp.write_text(json.dumps({
+            "mode": "eval", "neural_dataset": "nsd", "analysis": "rsa",
+            "subject_idx": [0, 1, 2, 3], "region": ["early visual stream"],
+            "load_model_from": "torchvision", "model_name": "AlexNet",
+            "pretrained_dataset": "imagenet1k", "seed": 1,
+            "return_nodes": ["fc1"],
+        }))
+        with pytest.raises(SystemExit) as exc:
+            run_mod.main(["--mode", "eval", "--procs", "2",
+                          "--config", str(cfgp)])
+        assert exc.value.code == 0
+        assert len(launched) == 2
+        for cmd in launched:
+            assert cmd[1:4] == ["-m", "visreps_tpu.run", "--mode"]
+            assert "--config" in cmd

@@ -10,12 +10,16 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import sqlite3
 from pathlib import Path
 
 from visreps_tpu.core.logging import rprint
 
-RESULTS_DB_PATH = Path("results.db")
+# VISREPS_RESULTS_DB lets subprocess workers (run.py --procs subject
+# shards, bench e2e workers) share one WAL results.db without code
+# hooks; default matches the reference's cwd-relative results.db.
+RESULTS_DB_PATH = Path(os.environ.get("VISREPS_RESULTS_DB", "results.db"))
 
 IDENTITY_FIELDS = (
     "seed", "epoch", "region", "subject_idx", "neural_dataset", "cfg_id",

@@ -2,14 +2,68 @@
 
 Reference parity: visreps/run.py — same flags (--mode, --config,
 --override k=v ..., --verbose), default config at
-configs/{mode}/base.json, validation before dispatch.
+configs/{mode}/base.json, validation before dispatch. TPU addition:
+--procs K subject-shards a multi-subject eval across K concurrent
+processes (each runs the unchanged eval over a disjoint subject
+subset into the one shared WAL results.db) — on relay-attached chips
+the host→device path is per-process-bound, so K processes upload the
+stimulus set ~K× faster; workers stay protocol-exact by intersecting
+shared-test ids over the FULL subject list (shared_test_subjects).
 """
 from __future__ import annotations
 
 import argparse
+import json
+import os
+import sys
 
 from visreps_tpu.core.config import load_config
 from visreps_tpu.core.validate import validate_config
+
+
+def _shard_worker_argvs(args, cfg) -> list[list[str]] | None:
+    """argv for each subject-shard worker, or None when sharding
+    doesn't apply (single subject, non-eval, or --procs 1).
+
+    Each worker re-invokes this CLI with subject_idx overridden to its
+    shard and shared_test_subjects pinned to the full subject list so
+    NSD's shared-test intersection (data/neural.load_all_nsd_data)
+    matches the unsharded run exactly.
+    """
+    if args.procs <= 1 or args.mode != "eval":
+        return None
+    subjects = cfg.get("subject_idx")
+    if not isinstance(subjects, list) or len(subjects) <= 1:
+        return None
+    n = min(args.procs, len(subjects))
+    test_subjects = cfg.get("shared_test_subjects") or subjects
+    full = json.dumps(list(test_subjects), separators=(",", ":"))
+    argvs = []
+    for i in range(n):
+        shard = json.dumps(subjects[i::n], separators=(",", ":"))
+        ov = list(args.override) + [
+            f"subject_idx={shard}", f"shared_test_subjects={full}"]
+        argv = ["--mode", "eval", "--procs", "1", "--override", *ov]
+        if args.config:
+            argv += ["--config", args.config]
+        if args.verbose:
+            argv += ["--verbose"]
+        argvs.append(argv)
+    return argvs
+
+
+def _run_sharded(argvs: list[list[str]]) -> int:
+    import subprocess
+
+    procs = [subprocess.Popen([sys.executable, "-m", "visreps_tpu.run", *a])
+             for a in argvs]
+    rc = 0
+    for a, p in zip(argvs, procs):
+        if p.wait() != 0:
+            print(f"subject-shard worker failed (rc={p.returncode}): {a}",
+                  file=sys.stderr)
+            rc = 1
+    return rc
 
 
 def main(argv=None):
@@ -18,7 +72,20 @@ def main(argv=None):
     parser.add_argument("--config", default=None)
     parser.add_argument("--override", nargs="*", default=[])
     parser.add_argument("--verbose", "-v", action="store_true")
+    parser.add_argument(
+        "--procs", type=int, default=1,
+        help="subject-shard an eval across K concurrent processes "
+             "(disjoint subject subsets, one shared results.db)")
     args = parser.parse_args(argv)
+
+    # The TPU terminal's sitecustomize pins jax_platforms="axon,cpu" and
+    # ignores the JAX_PLATFORMS env var; this hook lets subprocess
+    # workers (and CI) force a platform before any backend init.
+    plat = os.environ.get("VISREPS_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
     overrides = list(args.override)
     if args.verbose:
@@ -27,6 +94,10 @@ def main(argv=None):
 
     cfg = load_config(args.config or f"configs/{args.mode}/base.json", overrides)
     cfg = validate_config(cfg)
+
+    worker_argvs = _shard_worker_argvs(args, cfg)
+    if worker_argvs:
+        raise SystemExit(_run_sharded(worker_argvs))
 
     # Multi-chip by default: one ('data', 'model') mesh over every
     # visible device (None single-chip; --override use_mesh=false).

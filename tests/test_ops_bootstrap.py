@@ -81,6 +81,43 @@ class TestBootstrapScores:
                 expected = tau_b * np.sqrt(np.float64(n0 - t_x) * (n0 - t_y)) / n0
             np.testing.assert_allclose(scores[i], expected, rtol=1e-3, atol=1e-4)
 
+    def test_exact_ties_matches_scipy_on_tied_values(self, rng):
+        """The sort-free exact-tie Spearman kernel (static tie-segment
+        gathers, no per-iteration sort) must match scipy's average-tie
+        spearmanr on heavily tied triangles."""
+        n = 40
+        a = rng.randn(n, 8).astype(np.float32)
+        r1 = np.asarray(compute_rdm(a))
+        r2 = np.asarray(compute_rdm(a + 0.5 * rng.randn(n, 8).astype(np.float32)))
+        # inject ties: quantize one matrix coarsely, clamp-tie the other
+        r1 = np.round(r1, 1)
+        r2 = np.minimum(r2, np.percentile(r2, 80.0))
+        n_boot = 6
+        idx = bootstrap_indices(n, n_boot, seed=42)
+        scores = bootstrap_rdm_correlation(
+            r1, r2, n_bootstrap=n_boot, seed=42, method="spearman",
+            chunk=3, exact_ties=True)
+        for i in range(n_boot):
+            ix = idx[i]
+            iu = np.triu_indices(len(ix), k=1)
+            v1 = r1[np.ix_(ix, ix)][iu]
+            v2 = r2[np.ix_(ix, ix)][iu]
+            expected = scipy.stats.spearmanr(v1, v2).statistic
+            np.testing.assert_allclose(scores[i], expected, rtol=1e-4, atol=1e-5)
+            # the dense-rank fast path genuinely differs on these inputs
+        dense = bootstrap_rdm_correlation(
+            r1, r2, n_bootstrap=n_boot, seed=42, method="spearman",
+            chunk=3, exact_ties=False)
+        assert np.max(np.abs(dense - scores)) > 1e-6
+
+    def test_exact_ties_equals_fast_path_when_tie_free(self, rdm_pair):
+        r1, r2 = rdm_pair
+        s_fast = bootstrap_rdm_correlation(
+            r1, r2, n_bootstrap=8, seed=42, exact_ties=False)
+        s_exact = bootstrap_rdm_correlation(
+            r1, r2, n_bootstrap=8, seed=42, exact_ties=True)
+        np.testing.assert_allclose(s_fast, s_exact, atol=1e-4)
+
     def test_ci_brackets_point_estimate_distribution(self, rdm_pair):
         r1, r2 = rdm_pair
         scores = bootstrap_rdm_correlation(r1, r2, n_bootstrap=64, chunk=16)

@@ -246,13 +246,20 @@ class FeatureExtractor:
         ever reads the n_select-per-subject seed-42 subsample, so
         retaining just that union cuts the 73k-scale device store from
         ~8.4 GB to < 1 GB — which is what lets several extraction
-        processes share one 16 GB chip.
+        processes share one 16 GB chip. Device-store retention pads
+        each batch's kept-row index vector to a power-of-two bucket
+        (≤ log2(batch)+1 compiled gather shapes — a VARIABLE-length
+        gather per batch would compile one program per distinct length,
+        and through a remote-compile relay those ~100 synchronous
+        compiles dominate the whole extraction) and compacts the padded
+        store with ONE final gather.
         """
         proj = self._proj_dict()
         dims = self.out_dims()
         chunks: dict[str, list] = {name: [] for name in dims}
         ids: list = []
-        pending = None  # (device result dict, row index or n_valid)
+        pending = None  # (device result dict, keep spec)
+        retain_meta: list[tuple[int, int]] = []  # (padded_len, n_valid)
 
         def drain(p):
             res, keep = p
@@ -277,7 +284,17 @@ class FeatureExtractor:
                     del res
                     continue
                 ids.extend(keys[i] for i in kept)
-                keep = np.asarray(kept, np.int32)
+                if store == "device":
+                    pad_len = 1
+                    while pad_len < len(kept):
+                        pad_len *= 2
+                    pad_len = min(pad_len, self.batch_size)
+                    kp = np.zeros(pad_len, np.int32)
+                    kp[: len(kept)] = kept
+                    retain_meta.append((pad_len, len(kept)))
+                    keep = kp
+                else:
+                    keep = np.asarray(kept, np.int32)  # host gather: free
             cur = (self._srp_step(self.state.variables, proj, xd), keep)
             if pending is not None:
                 drain(pending)
@@ -286,6 +303,15 @@ class FeatureExtractor:
             drain(pending)
 
         del proj, pending
+        # Compaction positions of the true rows inside the padded
+        # device store (host-computed; one static gather per tap).
+        compact = None
+        if retain_meta:
+            pos, off = [], 0
+            for pad_len, n_valid in retain_meta:
+                pos.extend(range(off, off + n_valid))
+                off += pad_len
+            compact = jnp.asarray(np.asarray(pos, np.int32))
         cat = jnp.concatenate if store == "device" else np.concatenate
         # Concatenate tap by tap, dropping each tap's chunk list as it
         # is consumed: transient peak = resident acts + ONE tap, not 2x
@@ -295,7 +321,10 @@ class FeatureExtractor:
         for name in list(chunks):
             parts = chunks.pop(name)
             if parts:
-                acts[name] = cat(parts, axis=0)
+                a = cat(parts, axis=0)
+                if compact is not None:
+                    a = a[compact]
+                acts[name] = a
         rprint(
             f"  SRP activations: {len(acts)} taps x {len(ids)} stimuli ({store})",
             style="success",

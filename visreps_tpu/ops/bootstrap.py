@@ -109,6 +109,79 @@ def _spearman_fast_body(rdm_a, rdm_b, idx, chunk: int):
 _bootstrap_spearman_fast = jax.jit(_spearman_fast_body, static_argnames=("chunk",))
 
 
+def _spearman_exact_body(rdm_a, rdm_b, idx, chunk: int):
+    """Average-tie (scipy-exact) Spearman bootstrap, still sort-free.
+
+    Same subset-rank machinery as _spearman_fast_body; ties are STATIC
+    value-equality segments of the full-triangle sorted order, so each
+    iteration recovers scipy's average ranks with two extra static
+    gathers per matrix (selected-prefix at the tie group's start +
+    selected count inside the group) — no per-iteration sort. (The
+    naive alternative — per-iteration average-tie ranking under vmap —
+    compiles for tens of minutes on remote-compile TPU toolchains.)
+    With ties the ranks are not a permutation, so the score is the
+    Pearson correlation of the masked rank vectors rather than the
+    Σd² identity.
+    """
+    from visreps_tpu.ops.kendall import _group_starts
+
+    n = rdm_a.shape[0]
+    m_sub = idx.shape[1]
+    m_pairs = (m_sub * (m_sub - 1)) // 2
+    iu_full, ju_full = jnp.triu_indices(n, k=1)
+    M = iu_full.shape[0]
+
+    def prep(v):
+        order = jnp.argsort(v)
+        pos = jnp.argsort(order)
+        sv = v[order]
+        eq = jnp.concatenate(
+            [jnp.zeros((1,), bool), sv[1:] == sv[:-1]])
+        gs = _group_starts(eq)                      # group start per slot
+        # Group ends via group starts of the REVERSED order. Note the
+        # reversed adjacency flags are eq[1:] reversed (eq_rev[i] must
+        # compare rv[i] to rv[i-1], i.e. sv[M-1-i] to sv[M-i]), NOT
+        # eq[::-1] — that indexes the wrong adjacent pair.
+        eq_rev = jnp.concatenate(
+            [jnp.zeros((1,), bool), eq[1:][::-1]])
+        ge = (M - 1) - _group_starts(eq_rev)[::-1]  # group end per slot
+        return order, pos, gs, ge
+
+    pa = prep(rdm_a[iu_full, ju_full])
+    pb = prep(rdm_b[iu_full, ju_full])
+
+    def subset_avg_ranks(sel, p):
+        order, pos, gs, ge = p
+        ms = sel[order]                              # selected, sorted order
+        c = jnp.cumsum(ms)                           # inclusive prefix
+        pre_g = c[gs] - ms[gs]                       # selected before group
+        k_g = c[ge] - pre_g                          # selected in group
+        return (pre_g + 0.5 * (k_g + 1.0))[pos]      # back to element order
+
+    def one(ix):
+        included = jnp.zeros((n,), jnp.float32).at[ix].set(1.0)
+        sel = included[iu_full] * included[ju_full]
+        ra = subset_avg_ranks(sel, pa)
+        rb = subset_avg_ranks(sel, pb)
+        m = jnp.float32(m_pairs)
+        mu_a = jnp.sum(sel * ra) / m
+        mu_b = jnp.sum(sel * rb) / m
+        da = sel * (ra - mu_a)
+        db = sel * (rb - mu_b)
+        return jnp.sum(da * db) / jnp.sqrt(jnp.sum(da * da) * jnp.sum(db * db))
+
+    n_boot = idx.shape[0]
+    chunk = min(chunk, n_boot)
+    n_chunks = -(-n_boot // chunk)
+    pad = n_chunks * chunk - n_boot
+    idx_p = jnp.concatenate([idx, idx[:pad]]) if pad else idx
+    scores = jax.lax.map(jax.vmap(one), idx_p.reshape(n_chunks, chunk, m_sub))
+    return scores.reshape(-1)[:n_boot]
+
+
+_bootstrap_spearman_exact = jax.jit(_spearman_exact_body, static_argnames=("chunk",))
+
+
 def _scores_body(rdm_a, rdm_b, idx, method: str, chunk: int):
     m = idx.shape[1]
     iu, ju = jnp.triu_indices(m, k=1)
@@ -154,8 +227,10 @@ def _bootstrap_sharded(rdm_a, rdm_b, idx, method: str, chunk: int, mesh,
     local = idx_p.shape[0] // ndev
     local_chunk = max(1, min(chunk, local))
 
-    if method == "spearman" and not exact_ties:
-        body = partial(_spearman_fast_body, chunk=local_chunk)
+    if method == "spearman":
+        body = partial(
+            _spearman_exact_body if exact_ties else _spearman_fast_body,
+            chunk=local_chunk)
     elif method == "kendall":
         body = partial(_kendall_fast_body, chunk=min(local_chunk, _KENDALL_CHUNK))
     else:
@@ -191,8 +266,9 @@ def bootstrap_rdm_correlation(
     Spearman uses the sort-free rank-subset formulation by default
     (identical to scipy when sampled values are distinct; set
     ``exact_ties=True`` for scipy's average-tie handling on tied
-    values at the cost of per-iteration sorts). Pearson/Kendall run the
-    general gathered-triangle path. Returns the full score distribution
+    values — same sort-free machinery plus two static tie-segment
+    gathers per iteration). Pearson runs the general gathered-triangle
+    path; Kendall its block-contraction kernel. Returns the full score distribution
     for percentile CIs (reference computes 2.5/97.5 percentiles).
     """
     rdm_model = jnp.asarray(rdm_model, dtype=jnp.float32)
@@ -204,8 +280,9 @@ def bootstrap_rdm_correlation(
         scores = _bootstrap_sharded(
             rdm_model, rdm_neural, np.asarray(indices), method, chunk, mesh, exact_ties
         )
-    elif method == "spearman" and not exact_ties:
-        scores = _bootstrap_spearman_fast(rdm_model, rdm_neural, jnp.asarray(indices), chunk)
+    elif method == "spearman":
+        fast = _bootstrap_spearman_exact if exact_ties else _bootstrap_spearman_fast
+        scores = fast(rdm_model, rdm_neural, jnp.asarray(indices), chunk)
     elif method == "kendall":
         scores = bootstrap_kendall_fast(
             rdm_model, rdm_neural, jnp.asarray(indices), min(chunk, _KENDALL_CHUNK)

@@ -526,6 +526,40 @@ def stage_h2d(batch_size=256, iters=12):
             "h2d_images_per_sec": batch_size * iters / t}
 
 
+def stage_h2d_streams(batch_size=256, iters=24,
+                      stream_counts=(1, 2, 3, 4, 6)):
+    """In-process H2D scaling vs concurrent upload-thread count.
+
+    The extractor's _device_feed pipelines uploads on a small thread
+    pool (2 threads / depth 3 → ~70 MB/s through the relay, vs ~34
+    single-stream). This stage maps throughput against the number of
+    in-flight device_put calls to find the per-process ceiling — the
+    knob that sets the measured-e2e extraction floor.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(0).integers(
+        0, 255, (batch_size, 224, 224, 3), dtype=np.uint8)
+    _ = float(jnp.sum(jax.device_put(x)[0, 0, 0]))  # warm
+
+    out = {}
+    for s in stream_counts:
+        with ThreadPoolExecutor(max_workers=s) as ex:
+            t0 = time.perf_counter()
+            futs = [ex.submit(jax.device_put, x) for _ in range(iters)]
+            arrs = [f.result() for f in futs]
+            _ = float(jnp.sum(jnp.stack([a[0, 0, 0, 0] for a in arrs])))
+            t = time.perf_counter() - t0
+        del arrs
+        out[f"h2d_MB_per_s_{s}streams"] = round(x.nbytes * iters / t / 1e6, 1)
+    best = max(out, key=out.get)
+    return {**out, "best_streams": int(best.split("_")[-1][:-7]),
+            "h2d_MB_per_s": out[best]}
+
+
 def stage_train(batch_size=256, iters=8):
     """CustomCNN train-step throughput (fwd+bwd+adamw, 224 images).
 
@@ -589,6 +623,7 @@ STAGES = {
     "e2e_worker": stage_e2e_worker,
     "decode": stage_decode,
     "h2d": stage_h2d,
+    "h2d_streams": stage_h2d_streams,
 }
 
 

@@ -225,3 +225,40 @@ class TestStandaloneExtractorVariants:
         n_channels = state.params["conv5"]["conv"]["kernel"].shape[-1]
         assert pooled["conv5"].shape == (8, n_channels)
         assert ids3 == ids2 == ids
+
+
+class TestInitParamCache:
+    def test_put_parallel_exact_roundtrip(self, rng):
+        """Chunked parallel upload reassembles every leaf bit-exactly,
+        including leaves large enough to split."""
+        import jax.numpy as jnp
+
+        from visreps_tpu.models.zoo import _put_parallel
+
+        tree = {
+            "big": rng.randn(64, 33).astype(np.float32),   # split at 1 KB
+            "small": rng.randn(3).astype(np.float32),
+            "nested": {"w": rng.randn(8, 8).astype(np.float32)},
+        }
+        out = _put_parallel(tree, streams=3, split_bytes=1024)
+        assert isinstance(out["big"], jnp.ndarray)
+        np.testing.assert_array_equal(np.asarray(out["big"]), tree["big"])
+        np.testing.assert_array_equal(np.asarray(out["small"]), tree["small"])
+        np.testing.assert_array_equal(
+            np.asarray(out["nested"]["w"]), tree["nested"]["w"])
+
+    def test_init_cache_hit_matches_fresh_init(self, tmp_path, monkeypatch):
+        """Second init_model call (cache hit, parallel upload) returns
+        the same params as the first (cache write)."""
+        import jax
+
+        from visreps_tpu.models.zoo import init_model
+
+        monkeypatch.setenv("VISREPS_INIT_CACHE_DIR", str(tmp_path))
+        s1 = init_model("TinyCustomCNN", 10, seed=3)
+        assert any(tmp_path.iterdir())  # cache written
+        s2 = init_model("TinyCustomCNN", 10, seed=3)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            s1.params, s2.params)

@@ -12,6 +12,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from visreps_tpu.core.config import get_seed_letter
 from visreps_tpu.core.logging import rprint
@@ -105,6 +106,38 @@ def _init_cache_path(model_name, num_classes, seed, size, cfg):
     return root / f"{model_name}_{num_classes}c_s{seed}_{h}.pkl", key
 
 
+def _put_parallel(host_vars, streams: int = 4, split_bytes: int = 32 << 20):
+    """Upload a host pytree with several transfers in flight.
+
+    On relay-attached TPUs a single device_put is latency-bound
+    (~34 MB/s; 2-3 in flight ≈ 70 MB/s — models/extractor._device_feed),
+    and a tree_map upload leaves the largest leaf (AlexNet fc1 kernel,
+    151 MB) on one stream. Leaves bigger than split_bytes are split
+    into row chunks uploaded concurrently and reassembled with one
+    device-side concatenate (compiled once per shape set, disk-cached).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    leaves, treedef = jax.tree_util.tree_flatten(host_vars)
+    with ThreadPoolExecutor(max_workers=streams) as ex:
+        futs = []
+        for leaf in leaves:
+            arr = np.asarray(leaf)
+            if arr.nbytes > split_bytes and arr.ndim >= 1 and arr.shape[0] >= streams:
+                n_chunks = -(-arr.nbytes // split_bytes)
+                parts = np.array_split(arr, n_chunks, axis=0)
+                futs.append([ex.submit(jax.device_put, p) for p in parts])
+            else:
+                futs.append(ex.submit(jax.device_put, arr))
+        out = []
+        for f in futs:
+            if isinstance(f, list):
+                out.append(jnp.concatenate([x.result() for x in f], axis=0))
+            else:
+                out.append(f.result())
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def init_model(model_name: str, num_classes: int, seed: int = 0, cfg=None,
                input_size: int | None = None, cache: bool = True) -> ModelState:
     """Initialize a fresh model (He/xavier init per family).
@@ -129,7 +162,7 @@ def init_model(model_name: str, num_classes: int, seed: int = 0, cfg=None,
                 payload = pickle.load(f)
             if payload.get("key") == key:
                 host_vars = payload["variables"]
-                variables = jax.tree_util.tree_map(jnp.asarray, host_vars)
+                variables = _put_parallel(host_vars)
                 rprint(f"  Init params from cache ({path.name})", style="info")
                 return ModelState(
                     module=module,

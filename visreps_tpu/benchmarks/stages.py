@@ -403,6 +403,9 @@ def stage_e2e_worker():
                    n_select=int(env("VISREPS_E2E_NSEL", "1000")),
                    model_name=env("VISREPS_E2E_MODEL", "AlexNet"),
                    srp_k=int(env("VISREPS_E2E_SRPK", "4096")))
+    # K workers share one chip's HBM: retention is mandatory here even
+    # though each worker's full store would fit a chip to itself.
+    cfg.acts_retain = True
 
     t0 = time.perf_counter()
     results = evals.eval(cfg)

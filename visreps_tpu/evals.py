@@ -219,12 +219,27 @@ def eval(cfg: Config, mesh=None):
     # (region, subject); computing that plan up front lets extraction
     # discard every other row at accumulation time (all stimuli still
     # run the full all-tap forward). Encoding needs every train row, so
-    # retention stays off there.
+    # retention stays off there. acts_retain: "auto" (default) retains
+    # only when the FULL bf16 store would NOT fit on device — retention
+    # is what rescues device residency then. When the full store fits,
+    # retention is a pure loss single-process: its per-batch kept-row
+    # gathers add ~2k dispatches through the relay (measured: extraction
+    # 216 s → 311 s at 73k scale). True forces it (subject-sharded
+    # workers splitting one chip's HBM); False disables.
     sel_plan = retain = None
-    if analysis == "rsa" and cfg.get("acts_retain", True):
-        sel_plan, retain = _selection_plan(
+    if analysis == "rsa":
+        import jax as _jax
+
+        sel_plan, retain_union = _selection_plan(
             all_data["neural"], subjects, regions, stimuli, cfg.get("n_select", 1000))
-        if len(retain) >= len(stimuli):
+        mode = cfg.get("acts_retain", "auto")
+        if mode == "auto":
+            est_full = 2 * len(stimuli) * sum(extractor.out_dims().values())
+            retain = retain_union if (
+                _jax.default_backend() != "cpu" and est_full >= 9e9) else None
+        elif mode:
+            retain = retain_union
+        if retain is not None and len(retain) >= len(stimuli):
             retain = None  # nothing to drop
 
     store = cfg.get("acts_store", "auto")

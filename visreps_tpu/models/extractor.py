@@ -199,15 +199,17 @@ class FeatureExtractor:
             return put_global_batch(x, self.mesh)
         return jnp.asarray(x)
 
-    def _device_feed(self, loader: Iterable, depth: int = 3, threads: int = 2):
+    def _device_feed(self, loader: Iterable, depth: int = 4, threads: int = 3):
         """Yield (device_batch, keys, n_valid) with uploads pipelined.
 
         On remote-attached TPUs a single in-flight host→device copy is
-        latency-bound (~34 MB/s measured through the relay); keeping
-        2-3 transfers in flight doubles effective bandwidth (~70 MB/s),
-        and the upload of batch k+1..k+depth overlaps batch k's
-        compute. Uploads run on a small thread pool; the loader's own
-        prefetch threads keep decoding ahead of the uploads.
+        latency-bound; concurrent transfers raise effective bandwidth
+        up to a ~72 MB/s per-process ceiling that peaks at THREE
+        in-flight copies and degrades beyond (measured sweep, stages.
+        stage_h2d_streams: 1→64, 2→69, 3→72, 4→64, 6→57 MB/s), and the
+        upload of batch k+1..k+depth overlaps batch k's compute.
+        Uploads run on a small thread pool; the loader's own prefetch
+        threads keep decoding ahead of the uploads.
         """
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor

@@ -41,7 +41,10 @@ def _shard_worker_argvs(args, cfg) -> list[list[str]] | None:
     argvs = []
     for i in range(n):
         shard = json.dumps(subjects[i::n], separators=(",", ":"))
-        ov = list(args.override) + [
+        # Workers split one chip's HBM K ways: force phase-1 row
+        # retention so each worker's device store stays ~1/K-sized
+        # (user --override acts_retain=... still wins, appended later).
+        ov = ["acts_retain=true"] + list(args.override) + [
             f"subject_idx={shard}", f"shared_test_subjects={full}"]
         argv = ["--mode", "eval", "--procs", "1", "--override", *ov]
         if args.config:

@@ -207,3 +207,68 @@ class TestKendallFastKernel:
             r1, r2, n_bootstrap=16, seed=42, method="kendall", mesh=mesh
         )
         np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestGroupedBootstrap:
+    """bootstrap_rdm_correlation_grouped: one program for every
+    (pair -> layer) bootstrap, average-tie exact."""
+
+    def test_matches_per_pair_exact_kernel(self, rng):
+        from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation_grouped
+
+        n = 40
+        layers = {
+            f"l{i}": np.asarray(compute_rdm(rng.randn(n, 16).astype(np.float32)))
+            for i in range(3)
+        }
+        pair_neural, pair_layer = {}, {}
+        for p in range(5):
+            pair_neural[("r", p)] = np.asarray(
+                compute_rdm(rng.randn(n, 8).astype(np.float32)))
+            pair_layer[("r", p)] = f"l{p % 3}"
+        idx = bootstrap_indices(n, 12, seed=42)
+        got = bootstrap_rdm_correlation_grouped(
+            layers, pair_neural, pair_layer, idx, chunk=5)
+        for k in pair_neural:
+            ref = bootstrap_rdm_correlation(
+                layers[pair_layer[k]], pair_neural[k], indices=idx,
+                exact_ties=True)
+            np.testing.assert_allclose(got[k], ref, atol=1e-5)
+
+    def test_scipy_parity_on_tied_values(self, rng):
+        """Quantized RDM values force ties; every iteration must match
+        a direct scipy spearmanr over the gathered sub-triangle."""
+        from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation_grouped
+
+        n = 24
+        a = np.round(np.asarray(compute_rdm(
+            rng.randn(n, 6).astype(np.float32))) * 8) / 8
+        b = np.round(np.asarray(compute_rdm(
+            rng.randn(n, 6).astype(np.float32))) * 8) / 8
+        idx = bootstrap_indices(n, 6, seed=1)
+        got = bootstrap_rdm_correlation_grouped(
+            {"l": a}, {("r", 0): b}, {("r", 0): "l"}, idx, chunk=3)[("r", 0)]
+        for i, ix in enumerate(idx):
+            iu, ju = np.triu_indices(len(ix), k=1)
+            v1 = a[ix[iu], ix[ju]]
+            v2 = b[ix[iu], ix[ju]]
+            expected = scipy.stats.spearmanr(v1, v2).statistic
+            np.testing.assert_allclose(got[i], expected, atol=1e-5)
+
+    def test_layer_sharing_isolated_per_pair(self, rng):
+        """Two pairs sharing one layer must score independently against
+        their own neural RDMs."""
+        from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation_grouped
+
+        n = 30
+        shared = np.asarray(compute_rdm(rng.randn(n, 10).astype(np.float32)))
+        nb1 = np.asarray(compute_rdm(
+            (rng.randn(n, 10) * 0.1).astype(np.float32)))
+        nb2 = np.asarray(compute_rdm(rng.randn(n, 10).astype(np.float32)))
+        idx = bootstrap_indices(n, 8, seed=9)
+        got = bootstrap_rdm_correlation_grouped(
+            {"L": shared}, {"p1": nb1, "p2": nb2}, {"p1": "L", "p2": "L"}, idx)
+        for key, neural in [("p1", nb1), ("p2", nb2)]:
+            ref = bootstrap_rdm_correlation(
+                shared, neural, indices=idx, exact_ties=True)
+            np.testing.assert_allclose(got[key], ref, atol=1e-5)

@@ -474,14 +474,24 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
     exact_store = "device" if _jax.default_backend() != "cpu" else "host"
     exact_all, _ = extractor.extract_layers_exact(
         dl_test, unique_layers, shared_test_ids, store=exact_store)
-    model_rdms = {}
-    for layer in unique_layers:
-        exact_acts = exact_all.pop(layer)
-        if cfg.get("reconstruct_from_pcs"):
-            exact_acts = np.asarray(reconstruct_from_pcs({layer: exact_acts}, pca_k)[layer])
-            rprint(f"    Reconstructed from {pca_k} PCs", style="info")
-        model_rdms[layer] = _rdm(exact_acts, mesh, cfg)
-        del exact_acts
+    sharded_rdm = (mesh is not None and
+                   len(shared_test_ids) >= cfg.get("rdm_shard_threshold", 4096))
+    if not cfg.get("reconstruct_from_pcs") and not sharded_rdm:
+        # All per-layer RDMs in ONE program: each is a trivial matmul
+        # (N² × D on the MXU), so the per-layer dispatch round-trips —
+        # not the FLOPs — dominate through a relay-attached host.
+        model_rdms = _jax.jit(
+            lambda d: {k: compute_rdm(v) for k, v in d.items()})(exact_all)
+        exact_all = {}
+    else:
+        model_rdms = {}
+        for layer in unique_layers:
+            exact_acts = exact_all.pop(layer)
+            if cfg.get("reconstruct_from_pcs"):
+                exact_acts = np.asarray(reconstruct_from_pcs({layer: exact_acts}, pca_k)[layer])
+                rprint(f"    Reconstructed from {pca_k} PCs", style="info")
+            model_rdms[layer] = _rdm(exact_acts, mesh, cfg)
+            del exact_acts
     LAST_PHASE_TIMES["phase2_extract_s"] = _time.perf_counter() - _t0
     _t0 = _time.perf_counter()
 
@@ -515,12 +525,32 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
     del model_stack, neural_stack
     point_of_pair = {k: float(v) for k, v in zip(pair_list, point_scores)}
 
-    # Point scores use average-tie Spearman; the bootstrap fast path
-    # uses dense ranks (identical on tie-free triangles). Detect ties
-    # per pair and route tied pairs through the exact average-tie
-    # bootstrap so the CI always brackets the reported statistic.
+    # The common case — Spearman bootstrap on one chip with the shared
+    # protocol index sets — runs every pair in ONE grouped device
+    # program (average-tie exact, per-iteration selection masks shared
+    # across pairs, per-layer rank passes shared across the pairs that
+    # selected the same layer): one dispatch + one fetch instead of 48
+    # kernel round-trips through the relay, and no tie detection.
+    use_grouped = (bootstrap and method == "spearman"
+                   and boot_indices is not None
+                   and (mesh is None or mesh.shape.get("data", 1) == 1))
+    boot_by_pair = None
+    if use_grouped:
+        from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation_grouped
+
+        boot_by_pair = bootstrap_rdm_correlation_grouped(
+            model_rdms,
+            {k: neural_rdms[k] for k in pair_list},
+            {(r, s): per_region_layers[r][s] for r, s in pair_list},
+            boot_indices)
+
+    # Per-pair fallback (other methods, sharded bootstrap): point
+    # scores use average-tie Spearman; the bootstrap fast path uses
+    # dense ranks (identical on tie-free triangles). Detect ties per
+    # pair and route tied pairs through the exact average-tie bootstrap
+    # so the CI always brackets the reported statistic.
     exact_by_pair = {k: False for k in pair_list}
-    if bootstrap and method == "spearman":
+    if bootstrap and method == "spearman" and not use_grouped:
         mode = cfg.get("bootstrap_exact_ties", "auto")
         if mode == "auto":
             from visreps_tpu.ops.rdm import triangle_tie_count
@@ -535,6 +565,10 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
             }
         elif mode:
             exact_by_pair = {k: True for k in pair_list}
+        n_exact = sum(exact_by_pair.values())
+        if n_exact:
+            rprint(f"  {n_exact}/{len(pair_list)} pairs have tied RDM values "
+                   "-> exact average-tie bootstrap", style="info")
 
     score_pending: deque = deque()
     all_results = []
@@ -576,7 +610,9 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
             last_region = region
         best_layer = per_region_layers[region][subj]
         boot_dev = None
-        if bootstrap:
+        if boot_by_pair is not None:
+            boot_dev = boot_by_pair[(region, subj)]
+        elif bootstrap:
             boot_dev = bootstrap_rdm_correlation(
                 model_rdms[best_layer], neural_rdms[(region, subj)],
                 n_bootstrap=n_bootstrap, seed=42, method=method, mesh=mesh,
@@ -690,11 +726,25 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh=None) -> List[
     boot_indices = (bootstrap_indices(len(test_ids), n_bootstrap, seed=42)
                     if bootstrap and test_ids else None)
 
-    # Tie-aware bootstrap routing, as in _eval_rsa.
+    # Grouped one-program bootstrap / tie-aware per-pair fallback, as
+    # in _eval_rsa.
     import jax
 
+    use_grouped = (bootstrap and method == "spearman"
+                   and boot_indices is not None
+                   and (mesh is None or mesh.shape.get("data", 1) == 1))
+    boot_by_pair = None
+    if use_grouped:
+        from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation_grouped
+
+        boot_by_pair = bootstrap_rdm_correlation_grouped(
+            model_rdms,
+            {k: neural_rdms[k] for k in pair_list},
+            {(r, s): best_layers[r][s] for r, s in pair_list},
+            boot_indices)
+
     exact_by_pair = {k: False for k in pair_list}
-    if bootstrap and method == "spearman":
+    if bootstrap and method == "spearman" and not use_grouped:
         mode = cfg.get("bootstrap_exact_ties", "auto")
         if mode == "auto":
             from visreps_tpu.ops.rdm import triangle_tie_count
@@ -750,7 +800,9 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh=None) -> List[
             last_region = region
         best_layer = best_layers[region][subj]
         boot_dev = None
-        if bootstrap:
+        if boot_by_pair is not None:
+            boot_dev = boot_by_pair[(region, subj)]
+        elif bootstrap:
             boot_dev = bootstrap_rdm_correlation(
                 model_rdms[best_layer], neural_rdms[(region, subj)],
                 n_bootstrap=n_bootstrap, seed=42, method=method, mesh=mesh,

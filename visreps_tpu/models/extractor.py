@@ -123,8 +123,8 @@ class FeatureExtractor:
         norm_mean = jnp.asarray(DS_MEAN["imgnet"])
         norm_std = jnp.asarray(DS_STD["imgnet"])
 
-        @partial(jax.jit, static_argnames=())
-        def _srp_step(variables, proj, x):
+        @partial(jax.jit, static_argnames=("out_bf16",))
+        def _srp_step(variables, proj, x, out_bf16=False):
             if x.dtype == jnp.uint8:
                 # uint8 transfer path: 4x less host→device bandwidth;
                 # normalization folds into the first device op.
@@ -139,11 +139,15 @@ class FeatureExtractor:
             out = {}
             for p in points:
                 flat = taps[p].reshape(taps[p].shape[0], -1)
-                out[alias[p]] = jax.lax.dot_general(
+                o = jax.lax.dot_general(
                     flat.astype(jnp.bfloat16), proj[alias[p]],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                # Device-store callers consume bf16; casting HERE fuses
+                # into the matmul epilogue — a separate astype per tap
+                # per batch is ~2k extra relay dispatches at 73k scale.
+                out[alias[p]] = o.astype(jnp.bfloat16) if out_bf16 else o
             return out
 
         self._srp_step = _srp_step
@@ -199,7 +203,8 @@ class FeatureExtractor:
             return put_global_batch(x, self.mesh)
         return jnp.asarray(x)
 
-    def _device_feed(self, loader: Iterable, depth: int = 4, threads: int = 3):
+    def _device_feed(self, loader: Iterable, depth: int | None = None,
+                     threads: int | None = None):
         """Yield (device_batch, keys, n_valid) with uploads pipelined.
 
         On remote-attached TPUs a single in-flight host→device copy is
@@ -211,9 +216,14 @@ class FeatureExtractor:
         Uploads run on a small thread pool; the loader's own prefetch
         threads keep decoding ahead of the uploads.
         """
+        import os
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        if depth is None:
+            depth = int(os.environ.get("VISREPS_FEED_DEPTH", "4"))
+        if threads is None:
+            threads = int(os.environ.get("VISREPS_FEED_THREADS", "3"))
         ex = ThreadPoolExecutor(max_workers=threads)
         pending: deque = deque()
         try:
@@ -263,26 +273,33 @@ class FeatureExtractor:
         pending = None  # (device result dict, keep spec)
         retain_meta: list[tuple[int, int]] = []  # (padded_len, n_valid)
 
+        out_bf16 = store == "device"
+
         def drain(p):
+            # keep=None: full batch, append the step output as-is (zero
+            # extra programs — the bf16 cast is fused into _srp_step).
+            # keep=slice: last partial batch, one trim per tap.
+            # keep=array: retention gather (bucket-padded indices).
             res, keep = p
             if store == "device":
                 for name, arr in res.items():
-                    chunks[name].append(arr[keep].astype(jnp.bfloat16))
+                    chunks[name].append(arr if keep is None else arr[keep])
             else:
                 host = jax.device_get(res)
                 for name, arr in host.items():
-                    chunks[name].append(arr[keep])
+                    chunks[name].append(arr if keep is None else arr[keep])
 
         for xd, keys, n in self._device_feed(loader):
             if retain_ids is None:
                 ids.extend(keys)
-                keep = slice(None, n)
+                keep = None if n == self.batch_size else slice(None, n)
             else:
                 kept = [i for i, k in enumerate(keys[:n]) if str(k) in retain_ids]
                 if not kept:
                     # Still dispatch the forward: the workload is every
                     # stimulus through every tap, retained or not.
-                    res = self._srp_step(self.state.variables, proj, xd)
+                    res = self._srp_step(self.state.variables, proj, xd,
+                                         out_bf16=out_bf16)
                     del res
                     continue
                 ids.extend(keys[i] for i in kept)
@@ -297,7 +314,8 @@ class FeatureExtractor:
                     keep = kp
                 else:
                     keep = np.asarray(kept, np.int32)  # host gather: free
-            cur = (self._srp_step(self.state.variables, proj, xd), keep)
+            cur = (self._srp_step(self.state.variables, proj, xd,
+                                  out_bf16=out_bf16), keep)
             if pending is not None:
                 drain(pending)
             pending = cur
@@ -361,13 +379,19 @@ class FeatureExtractor:
         points = tuple(dict.fromkeys(point_of.values()))
 
         parts: dict[str, list] = {p: [] for p in points}
+        ns: list[int] = []
         all_ids: list = []
         pending = None
 
         def drain(p_res, n_valid):
             if store == "device":
+                # Append full padded batches untouched; the trim, the
+                # stimulus_ids gather and the concat all run in ONE
+                # fused tail program below — per-batch per-tap slices
+                # are ~56 extra relay dispatches at phase-2 scale.
+                ns.append(n_valid)
                 for p in points:
-                    parts[p].append(p_res[p][:n_valid])
+                    parts[p].append(p_res[p])
             else:
                 host = jax.device_get(p_res)
                 for p in points:
@@ -397,13 +421,26 @@ class FeatureExtractor:
                     style="warning",
                 )
             all_ids = [all_ids[i] for i in keep]
-        cat = jnp.concatenate if store == "device" else np.concatenate
-        keep_idx = None if keep is None else (
-            jnp.asarray(keep) if store == "device" else np.asarray(keep))
-        for name, p in point_of.items():
-            a = cat(parts[p], axis=0)
-            parts[p] = []
-            acts[name] = a[keep_idx] if keep_idx is not None else a
+        if store == "device":
+            trims = tuple(ns)
+
+            def _tail(parts_in, keep_arr):
+                out = {}
+                for name, p in point_of.items():
+                    a = jnp.concatenate(
+                        [c[:k] for c, k in zip(parts_in[p], trims)], axis=0)
+                    out[name] = a if keep_arr is None else jnp.take(a, keep_arr, axis=0)
+                return out
+
+            keep_idx = None if keep is None else jnp.asarray(keep, jnp.int32)
+            acts = jax.jit(_tail)(parts, keep_idx)
+            parts = {p: [] for p in points}
+        else:
+            keep_idx = None if keep is None else np.asarray(keep)
+            for name, p in point_of.items():
+                a = np.concatenate(parts[p], axis=0)
+                parts[p] = []
+                acts[name] = a[keep_idx] if keep_idx is not None else a
         rprint(
             f"  Re-extracted {len(acts)} layers in one pass "
             f"({len(all_ids)} stimuli, exact, no SRP)",

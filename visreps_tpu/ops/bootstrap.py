@@ -182,6 +182,134 @@ def _spearman_exact_body(rdm_a, rdm_b, idx, chunk: int):
 _bootstrap_spearman_exact = jax.jit(_spearman_exact_body, static_argnames=("chunk",))
 
 
+def _spearman_exact_grouped_body(model_tris, neural_tris, pair_model, idx,
+                                 chunk: int, n: int):
+    """Every pair's average-tie Spearman bootstrap in ONE program.
+
+    A multi-subject eval scores P=(regions × subjects) pairs against
+    the SAME bootstrap index sets (protocol seed 42); the reference
+    loops scipy per pair per iteration (visreps/evals.py:355-373).
+    Dispatching P separate device kernels costs P relay round-trips
+    and recomputes shared work; this kernel exploits the structure:
+
+      * the per-iteration stimulus-selection mask is identical for all
+        pairs — computed once per iteration, not per pair;
+      * model-side subset ranks depend only on (layer, iteration), and
+        P pairs reuse L ≤ P unique selected layers — ranked once per
+        layer; per-layer centered vectors and norms are shared too;
+      * only the neural-side ranks and the final masked-Pearson
+        reduction are per-pair.
+
+    model_tris: (L, M) upper-triangle values of the unique model RDMs.
+    neural_tris: (P, M) per-pair neural triangles.
+    pair_model: static tuple, pair -> row of model_tris.
+    idx: (B, m_sub) without-replacement index sets over n stimuli.
+    Returns (P, B) scores, scipy-exact on ties (average ranks).
+    """
+    from visreps_tpu.ops.kendall import _group_starts
+
+    L, M = model_tris.shape
+    P = neural_tris.shape[0]
+    B, m_sub = idx.shape
+    m_pairs = (m_sub * (m_sub - 1)) // 2
+    iu_full, ju_full = jnp.triu_indices(n, k=1)
+
+    def prep(v):
+        order = jnp.argsort(v)
+        pos = jnp.argsort(order)
+        sv = v[order]
+        eq = jnp.concatenate([jnp.zeros((1,), bool), sv[1:] == sv[:-1]])
+        gs = _group_starts(eq)
+        eq_rev = jnp.concatenate([jnp.zeros((1,), bool), eq[1:][::-1]])
+        ge = (M - 1) - _group_starts(eq_rev)[::-1]
+        return order, pos, gs, ge
+
+    prep_m = jax.vmap(prep)(model_tris)    # each (L, M)
+    prep_n = jax.vmap(prep)(neural_tris)   # each (P, M)
+
+    def subset_avg_ranks(sel, order, pos, gs, ge):
+        # sel: (c, M); prep rows: (M,). Ranks in element order.
+        ms = jnp.take(sel, order, axis=1)
+        c = jnp.cumsum(ms, axis=1)
+        pre_g = jnp.take(c, gs, axis=1) - jnp.take(ms, gs, axis=1)
+        k_g = jnp.take(c, ge, axis=1) - pre_g
+        return jnp.take(pre_g + 0.5 * (k_g + 1.0), pos, axis=1)
+
+    m = jnp.float32(m_pairs)
+
+    def step(idx_chunk):  # (c, m_sub) -> (c, P)
+        c_sz = idx_chunk.shape[0]
+        included = jnp.zeros((c_sz, n), jnp.float32)
+        included = jax.vmap(lambda z, ix: z.at[ix].set(1.0))(included, idx_chunk)
+        sel = included[:, iu_full] * included[:, ju_full]   # (c, M)
+
+        # Model side: one rank pass per unique layer, shared by pairs.
+        das, da_norms = [], []
+        for l in range(L):
+            ra = subset_avg_ranks(
+                sel, prep_m[0][l], prep_m[1][l], prep_m[2][l], prep_m[3][l])
+            mu = jnp.sum(sel * ra, axis=1, keepdims=True) / m
+            da = sel * (ra - mu)
+            das.append(da)
+            da_norms.append(jnp.sum(da * da, axis=1))
+
+        outs = []
+        for p in range(P):
+            rb = subset_avg_ranks(
+                sel, prep_n[0][p], prep_n[1][p], prep_n[2][p], prep_n[3][p])
+            mu_b = jnp.sum(sel * rb, axis=1, keepdims=True) / m
+            db = sel * (rb - mu_b)
+            da = das[pair_model[p]]
+            outs.append(jnp.sum(da * db, axis=1)
+                        / jnp.sqrt(da_norms[pair_model[p]] * jnp.sum(db * db, axis=1)))
+        return jnp.stack(outs, axis=1)
+
+    chunk = min(chunk, B)
+    n_chunks = -(-B // chunk)
+    pad = n_chunks * chunk - B
+    idx_p = jnp.concatenate([idx, idx[:pad]]) if pad else idx
+    scores = jax.lax.map(step, idx_p.reshape(n_chunks, chunk, m_sub))
+    return scores.reshape(-1, P)[:B].T
+
+
+_bootstrap_spearman_exact_grouped = jax.jit(
+    _spearman_exact_grouped_body, static_argnames=("pair_model", "chunk", "n"))
+
+
+def bootstrap_rdm_correlation_grouped(
+    model_rdms: dict,
+    pair_neural: dict,
+    pair_layer: dict,
+    indices: np.ndarray,
+    chunk: int = 64,
+):
+    """All pairs' Spearman bootstraps as one device program.
+
+    model_rdms: {layer: (n, n)}; pair_neural: {pair_key: (n, n)};
+    pair_layer: {pair_key: layer}. Returns {pair_key: (B,) float64} —
+    ONE dispatch and ONE host fetch for the whole pair set. Always
+    average-tie exact — identical to dense ranks when values are
+    distinct, scipy-exact when they tie, so no tie detection
+    round-trip is needed.
+    """
+    pair_keys = list(pair_neural)
+    layers = sorted({pair_layer[k] for k in pair_keys})
+    layer_row = {l: i for i, l in enumerate(layers)}
+    n = next(iter(pair_neural.values())).shape[0]
+    iu, ju = np.triu_indices(n, k=1)
+
+    def tri(x):
+        return jnp.asarray(x, jnp.float32)[iu, ju]
+
+    model_tris = jnp.stack([tri(model_rdms[l]) for l in layers])
+    neural_tris = jnp.stack([tri(pair_neural[k]) for k in pair_keys])
+    pair_model = tuple(layer_row[pair_layer[k]] for k in pair_keys)
+    scores = np.asarray(_bootstrap_spearman_exact_grouped(
+        model_tris, neural_tris, pair_model, jnp.asarray(indices), chunk, n),
+        dtype=np.float64)
+    return {k: scores[i] for i, k in enumerate(pair_keys)}
+
+
 def _scores_body(rdm_a, rdm_b, idx, method: str, chunk: int):
     m = idx.shape[1]
     iu, ju = jnp.triu_indices(m, k=1)

@@ -113,3 +113,29 @@ def test_compute_rsa_bootstrap_exact_ties_consistency(rng):
     res2 = compute_rsa(cfg, make(n_train, False), make(n_test, False),
                        bootstrap=True, n_bootstrap=50)[0]
     assert res2["bootstrap_exact_ties"] is False
+
+
+def test_fused_matches_unfused(pair_fixture, rng):
+    """The fused one-program variant (gathers + neural RDMs traced in)
+    must reproduce _select_scores_multipair exactly."""
+    from visreps_tpu.analysis.rsa import _select_scores_multipair_fused
+
+    stacked, neurals = pair_fixture
+    L, n, d = stacked.shape
+    # Embed the subject rows inside a larger store, as in the eval.
+    N = 100
+    rows = rng.choice(N, size=n, replace=False).astype(np.int32)
+    acts_taps = []
+    for l in range(L):
+        store = rng.randn(N, d).astype(np.float32)
+        store[rows] = stacked[l]
+        acts_taps.append(jnp.asarray(store))
+
+    neural_rdms = jnp.stack([compute_rdm(jnp.asarray(x)) for x in neurals])
+    for method in ("pearson", "spearman"):
+        ref = np.asarray(_select_scores_multipair(
+            jnp.asarray(stacked), neural_rdms, method))
+        fused = np.asarray(_select_scores_multipair_fused(
+            tuple(acts_taps), jnp.asarray(rows),
+            tuple(jnp.asarray(x) for x in neurals), method))
+        np.testing.assert_allclose(fused, ref, rtol=0, atol=2e-5)

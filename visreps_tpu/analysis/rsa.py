@@ -82,6 +82,23 @@ def _select_scores_batched(stacked, neural, method: str, exact_ties: bool = Fals
 
 
 @partial(jax.jit, static_argnames=("method", "exact_ties"))
+def _select_scores_multipair_fused(acts_taps, rows, neural_targets,
+                                   method: str, exact_ties: bool = False):
+    """Whole-subject phase-1 selection as ONE device program.
+
+    acts_taps: tuple of (N, k) device tap stores; rows: (n,) indices of
+    the subject's selection subsample; neural_targets: tuple of (n, v_r)
+    per-region responses. The subsample gathers, the R neural RDMs and
+    the (R, L) score matrix all trace into a single program — the eager
+    version dispatches ~23 programs per subject, and through a
+    remote-dispatch relay the round-trips dwarf the compute.
+    """
+    stacked = jnp.stack([jnp.take(a, rows, axis=0) for a in acts_taps])
+    neural_rdms = jnp.stack([compute_rdm(t) for t in neural_targets])
+    return _select_scores_multipair(stacked, neural_rdms, method, exact_ties)
+
+
+@partial(jax.jit, static_argnames=("method", "exact_ties"))
 def _select_scores_multipair(stacked, neural_rdms, method: str,
                              exact_ties: bool = False):
     """(L, n, d) taps + (R, n, n) neural RDMs → (R, L) scores.

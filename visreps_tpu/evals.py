@@ -358,7 +358,10 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
         per_region_layers[region] = {}
         per_region_scores[region] = {}
 
-    from visreps_tpu.analysis.rsa import _select_scores_multipair
+    from visreps_tpu.analysis.rsa import (
+        _select_scores_multipair,
+        _select_scores_multipair_fused,
+    )
 
     exact_sel = bool(cfg.get("selection_exact_ties", False))
     tap_names = list(acts.keys())
@@ -426,9 +429,17 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
         rows0 = rows_by_region[regions[0]]
         grouped = same_width and len(regions) > 1 and all(
             np.array_equal(rows_by_region[r], rows0) for r in regions[1:])
-        if grouped:
-            stacker = jnp.stack if on_device else np.stack
-            stacked = stacker([acts[l][rows0] for l in tap_names])
+        if grouped and on_device:
+            # Whole subject in ONE program: subsample gathers + R neural
+            # RDMs + (R, L) scores (see _select_scores_multipair_fused).
+            vals = _select_scores_multipair_fused(
+                tuple(acts[l] for l in tap_names),
+                jnp.asarray(rows0, jnp.int32),
+                tuple(jnp.asarray(neural_by_region[r]) for r in regions),
+                method, exact_sel)
+            sel_pending.append((list(regions), subj, len(rows0), vals))
+        elif grouped:
+            stacked = np.stack([acts[l][rows0] for l in tap_names])
             neural_rdms = jnp.stack([
                 compute_rdm(jnp.asarray(neural_by_region[r])) for r in regions])
             vals = _select_scores_multipair(
@@ -480,6 +491,8 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
         # All per-layer RDMs in ONE program: each is a trivial matmul
         # (N² × D on the MXU), so the per-layer dispatch round-trips —
         # not the FLOPs — dominate through a relay-attached host.
+        # (No donation: the (n, n) outputs cannot alias the big f32
+        # inputs, so XLA rejects it — freeing happens at exact_all={}.)
         model_rdms = _jax.jit(
             lambda d: {k: compute_rdm(v) for k, v in d.items()})(exact_all)
         exact_all = {}
@@ -695,13 +708,21 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh=None) -> List[
     exact_store = "device" if _jax.default_backend() != "cpu" else "host"
     exact_all, _ = extractor.extract_layers_exact(
         dl_test, unique_layers, test_ids, store=exact_store)
-    model_rdms = {}
-    for layer in unique_layers:
-        exact_acts = exact_all.pop(layer)
-        if cfg.get("reconstruct_from_pcs"):
-            exact_acts = np.asarray(reconstruct_from_pcs({layer: exact_acts}, pca_k)[layer])
-        model_rdms[layer] = _rdm(exact_acts, mesh, cfg)
-        del exact_acts
+    sharded_rdm = (mesh is not None and
+                   len(test_ids) >= cfg.get("rdm_shard_threshold", 4096))
+    if not cfg.get("reconstruct_from_pcs") and not sharded_rdm:
+        # One program for all per-layer RDMs (see _eval_rsa phase 2).
+        model_rdms = _jax.jit(
+            lambda d: {k: compute_rdm(v) for k, v in d.items()})(exact_all)
+        exact_all = {}
+    else:
+        model_rdms = {}
+        for layer in unique_layers:
+            exact_acts = exact_all.pop(layer)
+            if cfg.get("reconstruct_from_pcs"):
+                exact_acts = np.asarray(reconstruct_from_pcs({layer: exact_acts}, pca_k)[layer])
+            model_rdms[layer] = _rdm(exact_acts, mesh, cfg)
+            del exact_acts
 
     # Pipelined pair scoring, same structure as _eval_rsa: batched
     # point scores (one lax.map program), bootstrap dispatched ahead /

@@ -424,17 +424,27 @@ class FeatureExtractor:
         if store == "device":
             trims = tuple(ns)
 
-            def _tail(parts_in, keep_arr):
-                out = {}
-                for name, p in point_of.items():
-                    a = jnp.concatenate(
-                        [c[:k] for c, k in zip(parts_in[p], trims)], axis=0)
-                    out[name] = a if keep_arr is None else jnp.take(a, keep_arr, axis=0)
-                return out
+            # One fused concat+trim+gather program PER LAYER, with that
+            # layer's per-batch buffers dropped as soon as its program
+            # is dispatched. A single all-layer program would be 1
+            # dispatch instead of 14, but its inputs + concats +
+            # gathered outputs coexist (~12 GB of full AlexNet f32 taps
+            # at 1000 test stimuli — measured OOM on a 16 GB chip);
+            # per-layer, the old buffers shrink as the outputs grow.
+            def _tail_one(chunks_in, keep_arr):
+                a = jnp.concatenate(
+                    [c[:k] for c, k in zip(chunks_in, trims)], axis=0)
+                return a if keep_arr is None else jnp.take(a, keep_arr, axis=0)
 
+            tail = jax.jit(_tail_one)
             keep_idx = None if keep is None else jnp.asarray(keep, jnp.int32)
-            acts = jax.jit(_tail)(parts, keep_idx)
-            parts = {p: [] for p in points}
+            consumers = {p: sum(1 for q in point_of.values() if q == p)
+                         for p in points}
+            for name, p in point_of.items():
+                acts[name] = tail(parts[p], keep_idx)
+                consumers[p] -= 1
+                if consumers[p] == 0:
+                    parts[p] = []
         else:
             keep_idx = None if keep is None else np.asarray(keep)
             for name, p in point_of.items():

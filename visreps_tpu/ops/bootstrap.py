@@ -226,43 +226,41 @@ def _spearman_exact_grouped_body(model_tris, neural_tris, pair_model, idx,
 
     prep_m = jax.vmap(prep)(model_tris)    # each (L, M)
     prep_n = jax.vmap(prep)(neural_tris)   # each (P, M)
-
-    def subset_avg_ranks(sel, order, pos, gs, ge):
-        # sel: (c, M); prep rows: (M,). Ranks in element order.
-        ms = jnp.take(sel, order, axis=1)
-        c = jnp.cumsum(ms, axis=1)
-        pre_g = jnp.take(c, gs, axis=1) - jnp.take(ms, gs, axis=1)
-        k_g = jnp.take(c, ge, axis=1) - pre_g
-        return jnp.take(pre_g + 0.5 * (k_g + 1.0), pos, axis=1)
+    pm = jnp.asarray(pair_model, jnp.int32)
 
     m = jnp.float32(m_pairs)
 
+    # Everything below is lax.map over compact shared bodies — an
+    # unrolled per-layer/per-pair formulation traces to a huge HLO that
+    # takes tens of minutes through a remote-compile relay.
     def step(idx_chunk):  # (c, m_sub) -> (c, P)
         c_sz = idx_chunk.shape[0]
         included = jnp.zeros((c_sz, n), jnp.float32)
         included = jax.vmap(lambda z, ix: z.at[ix].set(1.0))(included, idx_chunk)
         sel = included[:, iu_full] * included[:, ju_full]   # (c, M)
 
-        # Model side: one rank pass per unique layer, shared by pairs.
-        das, da_norms = [], []
-        for l in range(L):
-            ra = subset_avg_ranks(
-                sel, prep_m[0][l], prep_m[1][l], prep_m[2][l], prep_m[3][l])
-            mu = jnp.sum(sel * ra, axis=1, keepdims=True) / m
-            da = sel * (ra - mu)
-            das.append(da)
-            da_norms.append(jnp.sum(da * da, axis=1))
+        def centered(p):  # one matrix's masked centered ranks + norm
+            order, pos, gs, ge = p
+            ms = jnp.take(sel, order, axis=1)
+            cs = jnp.cumsum(ms, axis=1)
+            pre_g = jnp.take(cs, gs, axis=1) - jnp.take(ms, gs, axis=1)
+            k_g = jnp.take(cs, ge, axis=1) - pre_g
+            r = jnp.take(pre_g + 0.5 * (k_g + 1.0), pos, axis=1)
+            mu = jnp.sum(sel * r, axis=1, keepdims=True) / m
+            d = sel * (r - mu)
+            return d, jnp.sum(d * d, axis=1)
 
-        outs = []
-        for p in range(P):
-            rb = subset_avg_ranks(
-                sel, prep_n[0][p], prep_n[1][p], prep_n[2][p], prep_n[3][p])
-            mu_b = jnp.sum(sel * rb, axis=1, keepdims=True) / m
-            db = sel * (rb - mu_b)
-            da = das[pair_model[p]]
-            outs.append(jnp.sum(da * db, axis=1)
-                        / jnp.sqrt(da_norms[pair_model[p]] * jnp.sum(db * db, axis=1)))
-        return jnp.stack(outs, axis=1)
+        # Model side once per unique layer, shared by its pairs.
+        das, da_norms = jax.lax.map(centered, prep_m)  # (L, c, M), (L, c)
+
+        def pair_score(args):
+            pn, pmi = args
+            db, db_norm = centered(pn)
+            da = jax.lax.dynamic_index_in_dim(das, pmi, axis=0, keepdims=False)
+            na = jax.lax.dynamic_index_in_dim(da_norms, pmi, axis=0, keepdims=False)
+            return jnp.sum(da * db, axis=1) / jnp.sqrt(na * db_norm)
+
+        return jax.lax.map(pair_score, (prep_n, pm)).T  # (c, P)
 
     chunk = min(chunk, B)
     n_chunks = -(-B // chunk)
@@ -273,7 +271,7 @@ def _spearman_exact_grouped_body(model_tris, neural_tris, pair_model, idx,
 
 
 _bootstrap_spearman_exact_grouped = jax.jit(
-    _spearman_exact_grouped_body, static_argnames=("pair_model", "chunk", "n"))
+    _spearman_exact_grouped_body, static_argnames=("chunk", "n"))
 
 
 def bootstrap_rdm_correlation_grouped(
@@ -303,7 +301,8 @@ def bootstrap_rdm_correlation_grouped(
 
     model_tris = jnp.stack([tri(model_rdms[l]) for l in layers])
     neural_tris = jnp.stack([tri(pair_neural[k]) for k in pair_keys])
-    pair_model = tuple(layer_row[pair_layer[k]] for k in pair_keys)
+    pair_model = np.asarray(
+        [layer_row[pair_layer[k]] for k in pair_keys], np.int32)
     scores = np.asarray(_bootstrap_spearman_exact_grouped(
         model_tris, neural_tris, pair_model, jnp.asarray(indices), chunk, n),
         dtype=np.float64)

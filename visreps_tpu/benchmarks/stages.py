@@ -356,6 +356,7 @@ def stage_e2e_measured(batch_size=256, num_workers=16, n_bootstrap=1000,
 
     import visreps_tpu.evals as evals
 
+    batch_size = int(os.environ.get("VISREPS_E2E_BATCH", batch_size))
     cfg = _e2e_cfg(meta, range(meta["n_subjects"]), batch_size, num_workers,
                    n_bootstrap, n_select, model_name, srp_k)
 

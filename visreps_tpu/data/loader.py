@@ -112,8 +112,14 @@ class StimuliDataset:
         from visreps_tpu.data.transforms import load_image
 
         key = self.keys[idx]
-        img = load_image(self.stimuli[key])
-        return self.transform(img), key
+        val = self.stimuli[key]
+        if getattr(self.transform, "accepts_raw", False):
+            # get_transform closures take raw values and use a PIL-free
+            # fast path for identity-resize uint8 arrays (HDF5 bricks).
+            if not isinstance(val, (str, np.ndarray)):
+                val = np.asarray(val) if not hasattr(val, "convert") else val
+            return self.transform(val), key
+        return self.transform(load_image(val)), key
 
     def native_batch(self, idxs, n_threads: int = 16):
         """C++ decode when every requested stimulus is a JPEG/PNG path."""

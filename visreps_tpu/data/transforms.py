@@ -68,7 +68,34 @@ def get_transform(
     mean, std = DS_MEAN[ds_stats], DS_STD[ds_stats]
     rng = rng or random.Random()
 
-    def transform(img: Image.Image) -> np.ndarray:
+    def _array_fast(arr: np.ndarray) -> np.ndarray | None:
+        """PIL-free path for uint8 HWC arrays whose shorter side already
+        equals the resize size (e.g. the 256px NSD imgBrick): the
+        shorter-side resize is then the identity, so the whole
+        transform is a center-crop slice. Bit-exact with the PIL path
+        (same round() crop offsets; identity BILINEAR resize is
+        value-preserving) — ~10-20x less host CPU per frame, which
+        matters when decode threads share cores with upload threads.
+        """
+        if data_augment or arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+            return None
+        h, w = arr.shape[:2]
+        if min(h, w) != resize_size or h < crop_size or w < crop_size:
+            return None
+        top = int(round((h - crop_size) / 2.0))
+        left = int(round((w - crop_size) / 2.0))
+        out = arr[top: top + crop_size, left: left + crop_size]
+        if not normalize:
+            return np.ascontiguousarray(out)
+        return (np.asarray(out, np.float32) / 255.0 - mean) / std
+
+    def transform(img) -> np.ndarray:
+        if not isinstance(img, Image.Image):
+            if isinstance(img, np.ndarray):
+                out = _array_fast(img)
+                if out is not None:
+                    return out
+            img = load_image(img)
         img = img.convert("RGB")
         img = resize_shorter(img, resize_size)
         img = center_crop(img, crop_size)
@@ -81,6 +108,9 @@ def get_transform(
             return np.asarray(img, np.uint8)
         return to_array(img, mean, std)
 
+    # The closure accepts raw dataset values (ndarray/path/PIL) —
+    # datasets can skip their own PIL conversion.
+    transform.accepts_raw = True
     # Machine-readable description so the native C++ decode path
     # (visreps_tpu/native) can take over for standard pipelines.
     transform.spec = {

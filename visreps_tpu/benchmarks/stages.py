@@ -338,7 +338,7 @@ def _e2e_cfg(meta, subjects, batch_size, num_workers, n_bootstrap, n_select,
     return cfg
 
 
-def stage_e2e_measured(batch_size=256, num_workers=16, n_bootstrap=1000,
+def stage_e2e_measured(batch_size=512, num_workers=16, n_bootstrap=1000,
                        n_select=1000, model_name="AlexNet", srp_k=4096):
     """MEASURED wall-clock of the BASELINE.md north-star workload.
 

@@ -470,7 +470,13 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
     rprint("\n  Phase 2: Test evaluation", style="info")
     test_stimuli = {sid: stimuli[sid] for sid in shared_test_ids if sid in stimuli}
     transform = get_transform("imgnet")
-    dl_test = make_stimuli_loader(test_stimuli, transform, cfg.batchsize, cfg.get("num_workers", 16))
+    # Phase 2 runs full-resolution (no SRP) taps: at batch 512 the live
+    # f32 tap set is ~2 GB per program and the fused concat/trim tails
+    # slow ~4x (measured 70 s vs 15 s on a 16 GB chip). H2D is not the
+    # bottleneck here (1k stimuli), so cap the re-extraction batch.
+    dl_test = make_stimuli_loader(test_stimuli, transform,
+                                  min(int(cfg.batchsize), 256),
+                                  cfg.get("num_workers", 16))
     rprint(f"  Test dataloader: {len(test_stimuli)} stimuli", style="success")
 
     unique_layers = sorted({l for rl in per_region_layers.values() for l in rl.values()})
@@ -484,7 +490,8 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
 
     exact_store = "device" if _jax.default_backend() != "cpu" else "host"
     exact_all, _ = extractor.extract_layers_exact(
-        dl_test, unique_layers, shared_test_ids, store=exact_store)
+        dl_test, unique_layers, shared_test_ids, store=exact_store,
+        batch_size=min(int(cfg.batchsize), 256))
     sharded_rdm = (mesh is not None and
                    len(shared_test_ids) >= cfg.get("rdm_shard_threshold", 4096))
     if not cfg.get("reconstruct_from_pcs") and not sharded_rdm:
@@ -524,10 +531,21 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
     # All 48 point scores run as ONE batched program (the per-pair
     # rank transforms are latency-bound as 48 serial dispatches).
     pair_list = [(r, s) for r in regions for s in subjects]
-    neural_rdms = {}
-    for region, subj in pair_list:
-        neural_tensor = _neural_tensor(neural[region][subj]["test"], shared_test_ids)
-        neural_rdms[(region, subj)] = _rdm(neural_tensor, mesh, cfg)
+    neural_tensors = {
+        f"{region}|{subj}": _neural_tensor(neural[region][subj]["test"], shared_test_ids)
+        for region, subj in pair_list
+    }
+    if mesh is None or mesh.shape.get("data", 1) == 1:
+        # One program for all 48 neural RDMs (mixed voxel widths are
+        # fine — each entry is its own matmul inside the jit).
+        rdm_dict = jax.jit(lambda d: {k: compute_rdm(v) for k, v in d.items()})(
+            {k: jnp.asarray(v) for k, v in neural_tensors.items()})
+        neural_rdms = {(r, s): rdm_dict[f"{r}|{s}"] for r, s in pair_list}
+    else:
+        neural_rdms = {
+            (r, s): _rdm(neural_tensors[f"{r}|{s}"], mesh, cfg) for r, s in pair_list
+        }
+    del neural_tensors
     from visreps_tpu.ops.rdm import compute_rdm_correlation_batched
 
     model_stack = jnp.stack(

@@ -184,11 +184,12 @@ class FeatureExtractor:
     def out_dims(self) -> dict[str, int]:
         return {name: self.srp.out_dim(d) for name, d in self.tap_dims.items()}
 
-    def _pad(self, x: np.ndarray) -> tuple[np.ndarray, int]:
+    def _pad(self, x: np.ndarray, pad_to: int | None = None) -> tuple[np.ndarray, int]:
+        target = pad_to or self.batch_size
         b = x.shape[0]
-        if b == self.batch_size:
+        if b == target:
             return x, b
-        pad = np.zeros((self.batch_size - b, *x.shape[1:]), x.dtype)
+        pad = np.zeros((target - b, *x.shape[1:]), x.dtype)
         return np.concatenate([x, pad]), b
 
     def _to_device(self, x: np.ndarray):
@@ -204,7 +205,7 @@ class FeatureExtractor:
         return jnp.asarray(x)
 
     def _device_feed(self, loader: Iterable, depth: int | None = None,
-                     threads: int | None = None):
+                     threads: int | None = None, pad_to: int | None = None):
         """Yield (device_batch, keys, n_valid) with uploads pipelined.
 
         On remote-attached TPUs a single in-flight host→device copy is
@@ -228,7 +229,7 @@ class FeatureExtractor:
         pending: deque = deque()
         try:
             for x, keys in loader:
-                xp, n = self._pad(np.asarray(x))
+                xp, n = self._pad(np.asarray(x), pad_to)
                 pending.append((ex.submit(self._to_device, xp), keys, n))
                 if len(pending) >= depth:
                     fut, k, nv = pending.popleft()
@@ -352,7 +353,7 @@ class FeatureExtractor:
         return acts, ids
 
     def extract_layers_exact(self, loader: Iterable, layer_names, stimulus_ids=None,
-                             store: str = "host"):
+                             store: str = "host", batch_size: int | None = None):
         """Full-resolution activations for SEVERAL taps in ONE pass.
 
         Phase-2 re-extraction in the reference runs one forward pass
@@ -366,6 +367,10 @@ class FeatureExtractor:
         so downstream RDMs run without a device→host→device round trip
         (~4 GB of exact AlexNet taps at 1000 test stimuli — minutes of
         wall-clock through a relay-attached host).
+        batch_size: pad uploads to this size instead of the extractor's
+        bulk batch — full-resolution taps at batch 512 hold ~2 GB of
+        live f32 per program and measured ~4x slower tails on a 16 GB
+        chip, so phase-2 callers cap this at 256.
         """
         point_of = {}
         for name in layer_names:
@@ -397,7 +402,7 @@ class FeatureExtractor:
                 for p in points:
                     parts[p].append(host[p][:n_valid])
 
-        for xd, keys, n in self._device_feed(loader):
+        for xd, keys, n in self._device_feed(loader, pad_to=batch_size):
             all_ids.extend(keys)
             cur = (self._multi_step(self.state.variables, xd, points), n)
             if pending is not None:

@@ -46,6 +46,21 @@ def remaining() -> float:
 
 
 _ORPHANS: list[str] = []  # stages abandoned with their process still live
+_ORPHAN_FILES: dict = {}  # name -> stdout temp path (orphan keeps writing it)
+
+
+def _parse_last_json(path: str):
+    try:
+        with open(path) as f:
+            stdout = f.read()
+    except OSError:
+        return None
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return None
 
 
 def run_stage(name: str, timeout: float):
@@ -75,17 +90,10 @@ def run_stage(name: str, timeout: float):
         print(f"# stage {name}: TIMEOUT after {timeout:.0f}s "
               f"(process left running: pid {proc.pid})", file=sys.stderr)
         _ORPHANS.append(name)
+        _ORPHAN_FILES[name] = out.name
         return None  # temp files stay: the orphan is still writing them
     out.flush(), err.flush()
-    with open(out.name) as f:
-        stdout = f.read()
-    result = None
-    for line in reversed(stdout.strip().splitlines()):
-        try:
-            result = json.loads(line)
-            break
-        except json.JSONDecodeError:
-            continue
+    result = _parse_last_json(out.name)
     if result is None:
         with open(err.name) as f:
             stderr = f.read()
@@ -104,6 +112,33 @@ class Bench:
         self.extras: dict = {}
         self.e2e = None
         self.stage_results: dict = {}
+        self._extras_fns: dict = {}
+
+    def harvest_orphans(self) -> bool:
+        """Fold in results from timed-out stages whose orphan process
+        finished later: the orphan keeps writing its (deliberately
+        kept) stdout temp file, so its JSON line is often available by
+        the end of the run even though the stage 'timed out'."""
+        got = []
+        for name, path in list(_ORPHAN_FILES.items()):
+            res = _parse_last_json(path)
+            if res is None:
+                continue
+            del _ORPHAN_FILES[name]
+            got.append(name)
+            self.stage_results[name] = res
+            if name == "e2e_measured" and not self.e2e:
+                self.e2e = res
+            fn = self._extras_fns.get(name)
+            if fn is not None:
+                try:
+                    fn(res)
+                except Exception:
+                    pass
+        if got:
+            self.extras["late_harvested"] = sorted(
+                set(self.extras.get("late_harvested", []) + got))
+        return bool(got)
 
     def run(self, name: str, cap: float, need: float | None = None):
         """Run `name` with timeout min(cap, remaining); skip if the
@@ -209,6 +244,9 @@ def main():
 
     # ── 2. Extras, priority-ordered, each followed by a re-emit ───
     def record(name, cap, need, fn):
+        b._extras_fns[name] = fn
+        if b.harvest_orphans():
+            b.emit()
         res = b.run(name, cap=cap, need=need)
         if res:
             fn(res)
@@ -236,8 +274,9 @@ def main():
         "rdm_10kx10k_ms": round(r["rdm_ms"], 1)}))
     record("train", 240, 90, lambda r: b.extras.update({
         "train_images_per_sec_per_chip": round(r["train_images_per_sec"], 1)}))
-    record("encoding_delta", 300, 150, lambda r: b.extras.update({
+    record("encoding_delta", 450, 150, lambda r: b.extras.update({
         "encoding_high_vs_highest_score_delta": r["score_delta"],
+        "encoding_full_voxel_counts": r.get("n_voxels"),
         "encoding_highest_1subj_s": round(r["highest_s"], 1)}))
     record("h2d", 90, 40, lambda r: b.extras.update({
         "h2d_MB_per_s": round(r["h2d_MB_per_s"], 1)}))
@@ -249,6 +288,15 @@ def main():
     if not b.e2e and remaining() > 300:
         b.e2e = b.run("e2e_measured", cap=remaining(), need=240)
 
+    # Give still-running orphans the tail of the budget to finish into
+    # their temp files, then fold in whatever landed.
+    while _ORPHAN_FILES and remaining() > 10:
+        if b.harvest_orphans():
+            b.emit()
+        if not _ORPHAN_FILES:
+            break
+        time.sleep(min(10, max(1, remaining())))
+    b.harvest_orphans()
     b.emit()
 
 

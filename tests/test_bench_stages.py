@@ -263,3 +263,58 @@ class TestProcsCLI:
         for s, m in zip(single_rows, mp_rows):
             assert s[:3] == m[:3]
             np.testing.assert_allclose(s[3:], m[3:], atol=1e-5)
+
+
+class TestLateHarvest:
+    """bench.py folds in JSON lines from timed-out stages whose orphan
+    process finished later (relay stalls make this the common case)."""
+
+    def _bench_module(self):
+        import importlib.util
+        import pathlib
+
+        path = pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+        spec = importlib.util.spec_from_file_location("_benchmod", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_harvest_applies_extras_and_discloses(self, tmp_path):
+        import json
+
+        mod = self._bench_module()
+        f = tmp_path / "stage.out"
+        f.write_text("progress line\n"
+                     + json.dumps({"score_delta": 0.0, "highest_s": 329.1,
+                                   "n_voxels": [5000, 7604]}) + "\n")
+        mod._ORPHAN_FILES.clear()
+        mod._ORPHAN_FILES["encoding_delta"] = str(f)
+        b = mod.Bench()
+        b._extras_fns["encoding_delta"] = lambda r: b.extras.update(
+            {"encoding_high_vs_highest_score_delta": r["score_delta"]})
+        assert b.harvest_orphans() is True
+        assert b.extras["encoding_high_vs_highest_score_delta"] == 0.0
+        assert b.extras["late_harvested"] == ["encoding_delta"]
+        assert not mod._ORPHAN_FILES
+
+    def test_unfinished_orphan_stays_pending(self, tmp_path):
+        mod = self._bench_module()
+        f = tmp_path / "stage.out"
+        f.write_text("still working\nno json yet\n")
+        mod._ORPHAN_FILES.clear()
+        mod._ORPHAN_FILES["encoding_e2e"] = str(f)
+        b = mod.Bench()
+        assert b.harvest_orphans() is False
+        assert "encoding_e2e" in mod._ORPHAN_FILES
+
+    def test_harvested_e2e_becomes_headline(self, tmp_path):
+        import json
+
+        mod = self._bench_module()
+        f = tmp_path / "stage.out"
+        f.write_text(json.dumps({"e2e_measured_s": 246.6, "db_rows": 48}) + "\n")
+        mod._ORPHAN_FILES.clear()
+        mod._ORPHAN_FILES["e2e_measured"] = str(f)
+        b = mod.Bench()
+        assert b.harvest_orphans() is True
+        assert b.e2e["e2e_measured_s"] == 246.6

@@ -46,7 +46,15 @@ def remaining() -> float:
 
 
 _ORPHANS: list[str] = []  # stages abandoned with their process still live
-_ORPHAN_FILES: dict = {}  # name -> stdout temp path (orphan keeps writing it)
+_ORPHAN_FILES: dict = {}  # name -> (pid, stdout temp path) of live orphans
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except OSError:
+        return False
+    return True
 
 
 def _parse_last_json(path: str):
@@ -90,7 +98,7 @@ def run_stage(name: str, timeout: float):
         print(f"# stage {name}: TIMEOUT after {timeout:.0f}s "
               f"(process left running: pid {proc.pid})", file=sys.stderr)
         _ORPHANS.append(name)
-        _ORPHAN_FILES[name] = out.name
+        _ORPHAN_FILES[name] = (proc.pid, out.name)
         return None  # temp files stay: the orphan is still writing them
     out.flush(), err.flush()
     result = _parse_last_json(out.name)
@@ -113,18 +121,38 @@ class Bench:
         self.e2e = None
         self.stage_results: dict = {}
         self._extras_fns: dict = {}
+        self._harvested: dict = {}  # name -> last-applied snapshot
 
     def harvest_orphans(self) -> bool:
         """Fold in results from timed-out stages whose orphan process
         finished later: the orphan keeps writing its (deliberately
         kept) stdout temp file, so its JSON line is often available by
-        the end of the run even though the stage 'timed out'."""
+        the end of the run even though the stage 'timed out'.
+
+        Only harvest once the orphan pid has EXITED — a still-running
+        stage's intermediate JSON line must not be folded in as final
+        (ADVICE r3) — EXCEPT lines self-marked "cumulative": those are
+        complete snapshots by contract (stage_workloads/stage_kernels
+        print one after every sub-measurement), so they are applied
+        immediately and refreshed on later harvests until the orphan
+        exits."""
         got = []
-        for name, path in list(_ORPHAN_FILES.items()):
+        for name, (pid, path) in list(_ORPHAN_FILES.items()):
+            alive = _pid_alive(pid)
             res = _parse_last_json(path)
             if res is None:
+                if not alive:
+                    del _ORPHAN_FILES[name]  # exited without a JSON line
                 continue
-            del _ORPHAN_FILES[name]
+            if alive and not res.get("cumulative"):
+                continue  # mid-run, non-snapshot output: not final
+            if res == self._harvested.get(name):
+                if not alive:
+                    del _ORPHAN_FILES[name]
+                continue  # same snapshot as last time: nothing new
+            self._harvested[name] = res
+            if not alive:
+                del _ORPHAN_FILES[name]
             got.append(name)
             self.stage_results[name] = res
             if name == "e2e_measured" and not self.e2e:
@@ -240,6 +268,12 @@ def main():
             if again["e2e_measured_s"] < b.e2e["e2e_measured_s"]:
                 b.e2e = again
         b.extras["e2e_runs_s"] = runs
+        # The headline is a min-of-N statistic when this block fires;
+        # say so, and report the median alongside (ADVICE r3).
+        import statistics
+
+        b.extras["e2e_headline_stat"] = f"best_of_{len(runs)}"
+        b.extras["e2e_median_s"] = round(statistics.median(runs), 1)
         b.emit()
 
     # ── 2. Extras, priority-ordered, each followed by a re-emit ───
@@ -255,33 +289,41 @@ def main():
 
     # Healthy runtime is ~250-300 s measured + ~60-100 s warmup/compile;
     # the r3 baseline run showed 480 s starves it on a slow relay day.
+    # cv_precision defaults to "high" — the SHIPPING eval default since
+    # round 4 (evals.py; delta-0.0 evidence in BENCH_r03), so this
+    # number and `--mode eval --override analysis=encoding_score` run
+    # the same code path.
     record("encoding_e2e", 620, 330, lambda r: b.extras.update({
         "encoding_48pair_full_nsd_s": round(r["encoding_e2e_s"], 1),
         "encoding_cv_precision": r.get("cv_precision"),
     }))
-    record("bootstrap_kendall", 240, 90, lambda r: b.extras.update({
-        "kendall_bootstraps_per_sec": round(r["bootstraps_per_sec"], 1)}))
-    record("bootstrap", 180, 60, lambda r: b.extras.update({
-        "rsa_bootstraps_per_sec": round(r["bootstraps_per_sec"], 1)}))
-    record("extract", 240, 90, lambda r: b.extras.update({
-        "extract_images_per_sec_per_chip": round(r["images_per_sec"], 1)}))
-    record("selection_device", 180, 60, lambda r: b.extras.update({
-        "layer_selection_s_per_subject": round(r["selection_s"], 3)}))
-    record("rdm_pallas", 180, 60, lambda r: b.extras.update({
-        "rdm_pallas_bf16_ms": round(r["rdm_pallas_bf16_ms"], 1),
-        "rdm_pallas_f32_ms": round(r["rdm_pallas_f32_ms"], 1)}))
-    record("rdm", 120, 45, lambda r: b.extras.update({
-        "rdm_10kx10k_ms": round(r["rdm_ms"], 1)}))
-    record("train", 240, 90, lambda r: b.extras.update({
-        "train_images_per_sec_per_chip": round(r["train_images_per_sec"], 1)}))
-    record("encoding_delta", 450, 150, lambda r: b.extras.update({
-        "encoding_high_vs_highest_score_delta": r["score_delta"],
-        "encoding_full_voxel_counts": r.get("n_voxels"),
-        "encoding_highest_1subj_s": round(r["highest_s"], 1)}))
-    record("h2d", 90, 40, lambda r: b.extras.update({
-        "h2d_MB_per_s": round(r["h2d_MB_per_s"], 1)}))
-    record("decode", 300, 120, lambda r: b.extras.update({
-        "host_decode_images_per_sec": round(r["decode_images_per_sec"], 1)}))
+
+    def _forward_keys(keys):
+        """extras-updater that copies whatever of `keys` the (possibly
+        partial, late-harvested) cumulative stage result carries."""
+        def fn(r):
+            b.extras.update({k: r[k] for k in keys if k in r})
+        return fn
+
+    # The BASELINE.json workloads beyond NSD (VERDICT r3 item 2), ONE
+    # process with cumulative output — a timeout preserves completed
+    # sub-measurements via late harvest.
+    record("workloads", 900, 200, _forward_keys((
+        "things_e2e_s", "tvsd_e2e_s", "nsd_synthetic_e2e_s",
+        "cross_model_rdm_s", "things_error", "tvsd_error",
+        "nsd_synthetic_error", "cross_model_error")))
+    # Kernel/throughput micro-benchmarks, same combined contract.
+    record("kernels", 600, 150, _forward_keys((
+        "kendall_bootstraps_per_sec", "rsa_bootstraps_per_sec",
+        "extract_images_per_sec_per_chip", "layer_selection_s_per_subject",
+        "rdm_pallas_bf16_ms", "rdm_pallas_f32_ms", "rdm_10kx10k_ms",
+        "train_images_per_sec_per_chip", "h2d_MB_per_s",
+        "host_decode_images_per_sec")))
+    # encoding_delta (the high-vs-highest CV-precision evidence, r3:
+    # delta 0.0 to 5 decimals at full voxel scale) is no longer in the
+    # default schedule — the finding is baked into the shipping default;
+    # run `python -m visreps_tpu.benchmarks.stages encoding_delta` to
+    # reproduce it.
 
     # If the headline never materialized, retry e2e with whatever
     # budget is left (compile caches are warmer now).

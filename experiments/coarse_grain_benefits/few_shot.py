@@ -1,8 +1,18 @@
 """k-shot classification from frozen checkpoint features.
 
 Nearest-class-mean probe over episodes: sample k examples per class,
-classify the rest by cosine distance to class prototypes. Mirrors the
-reference's few-shot CIFAR-100 probes (coarse_grain_benefits/).
+classify the rest by cosine distance to class prototypes.
+
+Transfer dataset: the reference probes CIFAR-100
+(reference: experiments/coarse_grain_benefits/few_shot_learning.py:53-66,
+torchvision download + logistic-regression head); this build supports
+the same CIFAR-100 probe from a LOCAL copy (--dataset-type cifar100;
+zero-egress environments must pre-download the archive) and defaults
+to TinyImageNet (--dataset-type tinyimagenet) as the in-tree
+substitute when no CIFAR copy exists. The probe head also differs by
+design: nearest-class-mean episodes instead of the reference's
+sklearn LogisticRegression — prototype probes are deterministic,
+solver-free, and run as one matmul.
 """
 from __future__ import annotations
 
@@ -20,6 +30,28 @@ from visreps_tpu.data.obj_cls import TinyImageNetDataset
 from visreps_tpu.data.transforms import get_transform
 from visreps_tpu.models.zoo import load_model
 from experiments.coarse_grain_benefits.linear_probe import extract_features
+
+
+class CIFAR100Probe:
+    """(img, label) view over a local torchvision CIFAR-100 copy.
+
+    Matches the reference's transfer dataset
+    (few_shot_learning.py:53-66). download=False: pre-seed the root
+    with cifar-100-python/ (zero-egress environments cannot fetch it).
+    """
+
+    def __init__(self, root: str, split: str, transform):
+        from torchvision.datasets import CIFAR100
+
+        self.base = CIFAR100(root, train=(split == "train"), download=False)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, idx):
+        img, label = self.base[idx]
+        return self.transform(img), label
 
 
 def few_shot_episodes(features, labels, k_shot, n_episodes, seed=0):
@@ -54,7 +86,11 @@ def main(argv=None):
     parser.add_argument("--checkpoint-model", default="checkpoint_epoch_20.pth")
     parser.add_argument("--layer", default="fc2_post")
     parser.add_argument("--probe-dataset", required=True)
-    parser.add_argument("--k-shot", type=int, nargs="+", default=[1, 5, 10])
+    parser.add_argument("--dataset-type", choices=["tinyimagenet", "cifar100"],
+                        default="tinyimagenet",
+                        help="cifar100 matches the reference's transfer "
+                             "dataset (local copy required)")
+    parser.add_argument("--k-shot", type=int, nargs="+", default=[1, 5, 10, 20])
     parser.add_argument("--episodes", type=int, default=20)
     parser.add_argument("--batch-size", type=int, default=128)
     args = parser.parse_args(argv)
@@ -65,7 +101,10 @@ def main(argv=None):
     })
     state = load_model(cfg)
     tfm = get_transform("imgnet")
-    ds = TinyImageNetDataset(args.probe_dataset, "val", tfm)
+    if args.dataset_type == "cifar100":
+        ds = CIFAR100Probe(args.probe_dataset, "test", tfm)
+    else:
+        ds = TinyImageNetDataset(args.probe_dataset, "val", tfm)
     feats, labels = extract_features(state, ds, args.layer, args.batch_size, 224)
 
     for k in args.k_shot:

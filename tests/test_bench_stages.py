@@ -1,5 +1,6 @@
 """Smoke tests for the benchmark stages (tiny sizes, CPU)."""
 import numpy as np
+import pytest
 
 from visreps_tpu.benchmarks import stages
 
@@ -265,6 +266,71 @@ class TestProcsCLI:
             np.testing.assert_allclose(s[3:], m[3:], atol=1e-5)
 
 
+class TestWorkloadStages:
+    """Tiny-scale smoke of the BASELINE.json workload stages (CPU):
+    THINGS / TVSD / NSD-Synthetic / cross-model run the REAL evals
+    branches over on-disk fixtures — same code path as the TPU bench
+    (VERDICT r3 item 2)."""
+
+    @pytest.fixture
+    def tiny_fx(self, tmp_path, monkeypatch):
+        import os
+
+        from visreps_tpu.benchmarks import fixture as fx
+
+        monkeypatch.setattr(fx, "FIXTURE_DIR", tmp_path / "fx")
+        monkeypatch.setattr(fx, "IMG_SIZE", 64)
+        monkeypatch.setattr(fx, "N_JPEG", 6)
+        monkeypatch.setattr(fx, "THINGS_CONCEPTS", 16)
+        monkeypatch.setattr(fx, "THINGS_IMGS_PER_CONCEPT", 2)
+        monkeypatch.setattr(fx, "TVSD_CONCEPTS", 5)
+        monkeypatch.setattr(fx, "TVSD_IMGS_PER_CONCEPT", 2)
+        monkeypatch.setattr(fx, "TVSD_N_TEST", 6)
+        monkeypatch.setattr(fx, "TVSD_N_SITES", 8)
+        monkeypatch.setattr(fx, "NSDSYN_N_STIMULI", 8)
+        monkeypatch.setattr(fx, "N_SUBJECTS", 2)
+        monkeypatch.setattr(fx, "REGIONS", ["early", "ventral"])
+        monkeypatch.setattr(fx, "N_VOXELS", 8)
+
+        import visreps_tpu.core.db as db
+        import visreps_tpu.evals as evals
+
+        # the stages chdir + redirect the db module-globals in place
+        cwd = os.getcwd()
+        monkeypatch.setattr(db, "RESULTS_DB_PATH", db.RESULTS_DB_PATH)
+        monkeypatch.setattr(evals, "RESULTS_DB_PATH", evals.RESULTS_DB_PATH)
+        yield fx
+        os.chdir(cwd)
+
+    def test_things_stage(self, tiny_fx):
+        out = stages.stage_things_e2e(batch_size=8, num_workers=2,
+                                      n_bootstrap=8, srp_k=32)
+        assert out["n_images"] == 32 and out["n_concepts"] == 16
+        assert out["n_results"] == 1 and out["db_rows"] >= 1
+        assert out["things_e2e_s"] > 0
+
+    def test_tvsd_stage(self, tiny_fx):
+        out = stages.stage_tvsd_e2e(batch_size=8, num_workers=2,
+                                    n_bootstrap=8, n_select=6, srp_k=32)
+        assert out["n_train"] == 10 and out["n_test"] == 6
+        assert out["n_results"] == 6  # 2 monkeys x 3 regions
+        assert out["db_rows"] >= 6
+
+    def test_nsd_synthetic_stage(self, tiny_fx):
+        out = stages.stage_nsd_synthetic_e2e(batch_size=8, num_workers=2,
+                                             n_bootstrap=8, srp_k=32)
+        assert out["n_stimuli"] == 8
+        assert out["n_results"] == 4  # 2 subjects x 2 regions
+
+    def test_cross_model_stage(self, tiny_fx):
+        out = stages.stage_cross_model(n_images=6, batch_size=3, srp_k=16,
+                                       models=["AlexNet", "clip-vit-l14"],
+                                       tiny_towers=True)
+        assert out["n_models"] == 2
+        assert out["n_pair_matrices"] == 3  # AA, AC, CC
+        assert out["cross_model_rdm_s"] > 0
+
+
 class TestLateHarvest:
     """bench.py folds in JSON lines from timed-out stages whose orphan
     process finished later (relay stalls make this the common case)."""
@@ -279,6 +345,16 @@ class TestLateHarvest:
         spec.loader.exec_module(mod)
         return mod
 
+    @staticmethod
+    def _dead_pid():
+        """pid of a process that has already exited (and been reaped)."""
+        import subprocess
+        import sys
+
+        p = subprocess.Popen([sys.executable, "-c", "pass"])
+        p.wait()
+        return p.pid
+
     def test_harvest_applies_extras_and_discloses(self, tmp_path):
         import json
 
@@ -288,7 +364,7 @@ class TestLateHarvest:
                      + json.dumps({"score_delta": 0.0, "highest_s": 329.1,
                                    "n_voxels": [5000, 7604]}) + "\n")
         mod._ORPHAN_FILES.clear()
-        mod._ORPHAN_FILES["encoding_delta"] = str(f)
+        mod._ORPHAN_FILES["encoding_delta"] = (self._dead_pid(), str(f))
         b = mod.Bench()
         b._extras_fns["encoding_delta"] = lambda r: b.extras.update(
             {"encoding_high_vs_highest_score_delta": r["score_delta"]})
@@ -302,10 +378,26 @@ class TestLateHarvest:
         f = tmp_path / "stage.out"
         f.write_text("still working\nno json yet\n")
         mod._ORPHAN_FILES.clear()
-        mod._ORPHAN_FILES["encoding_e2e"] = str(f)
+        mod._ORPHAN_FILES["encoding_e2e"] = (self._dead_pid(), str(f))
         b = mod.Bench()
         assert b.harvest_orphans() is False
-        assert "encoding_e2e" in mod._ORPHAN_FILES
+        assert "encoding_e2e" not in mod._ORPHAN_FILES  # exited, no JSON
+
+    def test_live_orphan_not_harvested_mid_run(self, tmp_path):
+        """ADVICE r3: an intermediate JSON line from a STILL-RUNNING
+        orphan must not be folded in as the stage's final result."""
+        import json
+        import os
+
+        mod = self._bench_module()
+        f = tmp_path / "stage.out"
+        f.write_text(json.dumps({"e2e_measured_s": 1.0}) + "\n")
+        mod._ORPHAN_FILES.clear()
+        mod._ORPHAN_FILES["e2e_measured"] = (os.getpid(), str(f))  # alive
+        b = mod.Bench()
+        assert b.harvest_orphans() is False
+        assert "e2e_measured" in mod._ORPHAN_FILES
+        mod._ORPHAN_FILES.clear()
 
     def test_harvested_e2e_becomes_headline(self, tmp_path):
         import json
@@ -314,7 +406,37 @@ class TestLateHarvest:
         f = tmp_path / "stage.out"
         f.write_text(json.dumps({"e2e_measured_s": 246.6, "db_rows": 48}) + "\n")
         mod._ORPHAN_FILES.clear()
-        mod._ORPHAN_FILES["e2e_measured"] = str(f)
+        mod._ORPHAN_FILES["e2e_measured"] = (self._dead_pid(), str(f))
         b = mod.Bench()
         assert b.harvest_orphans() is True
         assert b.e2e["e2e_measured_s"] == 246.6
+
+    def test_live_cumulative_snapshots_harvested_and_refreshed(self, tmp_path):
+        """stage_workloads/stage_kernels mark every line "cumulative":
+        such snapshots ARE harvested from a live orphan, stay pending
+        for richer later snapshots, and identical re-reads are no-ops."""
+        import json
+        import os
+
+        mod = self._bench_module()
+        f = tmp_path / "stage.out"
+        f.write_text(json.dumps(
+            {"stage": "workloads", "cumulative": True,
+             "things_e2e_s": 201.0}) + "\n")
+        mod._ORPHAN_FILES.clear()
+        mod._ORPHAN_FILES["workloads"] = (os.getpid(), str(f))  # alive
+        b = mod.Bench()
+        keys = {}
+        b._extras_fns["workloads"] = lambda r: keys.update(r)
+        assert b.harvest_orphans() is True
+        assert keys["things_e2e_s"] == 201.0
+        assert "workloads" in mod._ORPHAN_FILES  # still pending
+        # same snapshot again: nothing new
+        assert b.harvest_orphans() is False
+        # richer snapshot: re-harvested
+        f.write_text(f.read_text() + json.dumps(
+            {"stage": "workloads", "cumulative": True,
+             "things_e2e_s": 201.0, "tvsd_e2e_s": 120.0}) + "\n")
+        assert b.harvest_orphans() is True
+        assert keys["tvsd_e2e_s"] == 120.0
+        mod._ORPHAN_FILES.clear()

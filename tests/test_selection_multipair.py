@@ -139,3 +139,36 @@ def test_fused_matches_unfused(pair_fixture, rng):
             tuple(acts_taps), jnp.asarray(rows),
             tuple(jnp.asarray(x) for x in neurals), method))
         np.testing.assert_allclose(fused, ref, rtol=0, atol=2e-5)
+
+
+def test_multisubject_matches_per_subject(rng):
+    """The multi-subject one-program variant (lax.map over subjects of
+    the fused body) must reproduce per-subject fused selection exactly
+    (VERDICT r3 item 3: phase-1 dispatch-count reduction)."""
+    from visreps_tpu.analysis.rsa import (
+        _select_scores_multipair_fused,
+        _select_scores_multisubject_fused,
+    )
+
+    L, S, R, n, d, N = 3, 4, 2, 20, 8, 60
+    acts_taps = tuple(jnp.asarray(rng.randn(N, d).astype(np.float32))
+                      for _ in range(L))
+    rows_stack = np.stack([
+        rng.choice(N, size=n, replace=False).astype(np.int32)
+        for _ in range(S)])
+    voxels = (5, 7)
+    neural = [[rng.randn(n, voxels[r]).astype(np.float32) for r in range(R)]
+              for _ in range(S)]
+    neural_stacks = tuple(
+        jnp.asarray(np.stack([neural[s][r] for s in range(S)]))
+        for r in range(R))
+
+    for method in ("pearson", "spearman"):
+        got = np.asarray(_select_scores_multisubject_fused(
+            acts_taps, jnp.asarray(rows_stack), neural_stacks, method))
+        assert got.shape == (S, R, L)
+        for s in range(S):
+            ref = np.asarray(_select_scores_multipair_fused(
+                acts_taps, jnp.asarray(rows_stack[s]),
+                tuple(jnp.asarray(x) for x in neural[s]), method))
+            np.testing.assert_allclose(got[s], ref, rtol=0, atol=2e-5)

@@ -99,6 +99,33 @@ def _select_scores_multipair_fused(acts_taps, rows, neural_targets,
 
 
 @partial(jax.jit, static_argnames=("method", "exact_ties"))
+def _select_scores_multisubject_fused(acts_taps, rows_stack, neural_stacks,
+                                      method: str, exact_ties: bool = False):
+    """ALL subjects' phase-1 selection as ONE device program.
+
+    acts_taps: tuple of (N, k) device tap stores (shared across
+    subjects); rows_stack: (S, n) per-subject selection subsamples;
+    neural_stacks: tuple of R per-region (S, n, v_r) response stacks.
+    Returns (S, R, L) scores. lax.map over subjects of the per-subject
+    fused body (_select_scores_multipair_fused): 8 dispatches + 3-deep
+    pipelined fetches become ONE dispatch + ONE fetch — the per-subject
+    program's relay round-trips were the dominant, high-variance cost
+    of phase 1 (measured 7.4-29.9 s across runs for identical code;
+    VERDICT r3 item 3). Requires subjects to share selection-row count
+    and per-region voxel widths (true for the bench fixture and any
+    homogeneous dataset; heterogeneous subjects fall back to the
+    per-subject path).
+    """
+    def one_subject(args):
+        rows, neural = args
+        stacked = jnp.stack([jnp.take(a, rows, axis=0) for a in acts_taps])
+        neural_rdms = jnp.stack([compute_rdm(t) for t in neural])
+        return _select_scores_multipair(stacked, neural_rdms, method, exact_ties)
+
+    return jax.lax.map(one_subject, (rows_stack, neural_stacks))
+
+
+@partial(jax.jit, static_argnames=("method", "exact_ties"))
 def _select_scores_multipair(stacked, neural_rdms, method: str,
                              exact_ties: bool = False):
     """(L, n, d) taps + (R, n, n) neural RDMs → (R, L) scores.

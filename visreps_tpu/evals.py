@@ -361,6 +361,7 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
     from visreps_tpu.analysis.rsa import (
         _select_scores_multipair,
         _select_scores_multipair_fused,
+        _select_scores_multisubject_fused,
     )
 
     exact_sel = bool(cfg.get("selection_exact_ties", False))
@@ -422,6 +423,13 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
                     style="info",
                 )
 
+    # Stage every subject's rows + responses, then batch: subjects that
+    # share selection-row count and per-region voxel widths run as ONE
+    # multi-subject program (the per-subject dispatches were phase 1's
+    # dominant, high-variance relay cost — 7.4-29.9 s spread for
+    # identical code, VERDICT r3 item 3). Heterogeneous subjects fall
+    # back to the per-subject fused / per-pair pipelined paths.
+    staged = {}
     for subj in subjects:
         rows_by_region, neural_by_region = {}, {}
         for region in regions:
@@ -429,6 +437,38 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
         rows0 = rows_by_region[regions[0]]
         grouped = same_width and len(regions) > 1 and all(
             np.array_equal(rows_by_region[r], rows0) for r in regions[1:])
+        staged[subj] = (rows_by_region, neural_by_region, rows0, grouped)
+
+    multisubj: Dict = {}
+    if on_device:
+        for subj, (_, nbr, rows0, grouped) in staged.items():
+            if grouped:
+                key = (len(rows0), tuple(nbr[r].shape for r in regions))
+                multisubj.setdefault(key, []).append(subj)
+    batched_subjects = {s for subs in multisubj.values() if len(subs) > 1
+                        for s in subs}
+
+    for subs in multisubj.values():
+        if len(subs) < 2:
+            continue
+        rows_stack = jnp.asarray(
+            np.stack([staged[s][2] for s in subs]), jnp.int32)
+        neural_stacks = tuple(
+            jnp.asarray(np.stack([staged[s][1][r] for s in subs]))
+            for r in regions)
+        vals = _select_scores_multisubject_fused(
+            tuple(acts[l] for l in tap_names), rows_stack, neural_stacks,
+            method, exact_sel)  # (S, R, L)
+        arr = np.asarray(jax.device_get(vals), dtype=np.float64)
+        for s_i, subj in enumerate(subs):
+            sel_pending.append(
+                (list(regions), subj, rows_stack.shape[1], arr[s_i]))
+        del neural_stacks
+
+    for subj in subjects:
+        if subj in batched_subjects:
+            continue
+        rows_by_region, neural_by_region, rows0, grouped = staged[subj]
         if grouped and on_device:
             # Whole subject in ONE program: subsample gathers + R neural
             # RDMs + (R, L) scores (see _select_scores_multipair_fused).
@@ -460,6 +500,7 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
             _drain_selection()
     while sel_pending:
         _drain_selection()
+    del staged
 
     del acts
     LAST_PHASE_TIMES["phase1_selection_s"] = _time.perf_counter() - _t0
@@ -528,52 +569,68 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
 
         boot_indices = bootstrap_indices(len(shared_test_ids), n_bootstrap, seed=42)
 
-    # All 48 point scores run as ONE batched program (the per-pair
-    # rank transforms are latency-bound as 48 serial dispatches).
     pair_list = [(r, s) for r in regions for s in subjects]
-    neural_tensors = {
-        f"{region}|{subj}": _neural_tensor(neural[region][subj]["test"], shared_test_ids)
-        for region, subj in pair_list
-    }
-    if mesh is None or mesh.shape.get("data", 1) == 1:
-        # One program for all 48 neural RDMs (mixed voxel widths are
-        # fine — each entry is its own matmul inside the jit).
-        rdm_dict = jax.jit(lambda d: {k: compute_rdm(v) for k, v in d.items()})(
-            {k: jnp.asarray(v) for k, v in neural_tensors.items()})
-        neural_rdms = {(r, s): rdm_dict[f"{r}|{s}"] for r, s in pair_list}
-    else:
-        neural_rdms = {
-            (r, s): _rdm(neural_tensors[f"{r}|{s}"], mesh, cfg) for r, s in pair_list
-        }
-    del neural_tensors
-    from visreps_tpu.ops.rdm import compute_rdm_correlation_batched
-
-    model_stack = jnp.stack(
-        [model_rdms[per_region_layers[r][s]] for r, s in pair_list])
-    neural_stack = jnp.stack([neural_rdms[k] for k in pair_list])
-    point_scores = np.asarray(
-        compute_rdm_correlation_batched(model_stack, neural_stack, method))
-    del model_stack, neural_stack
-    point_of_pair = {k: float(v) for k, v in zip(pair_list, point_scores)}
 
     # The common case — Spearman bootstrap on one chip with the shared
-    # protocol index sets — runs every pair in ONE grouped device
-    # program (average-tie exact, per-iteration selection masks shared
-    # across pairs, per-layer rank passes shared across the pairs that
-    # selected the same layer): one dispatch + one fetch instead of 48
-    # kernel round-trips through the relay, and no tie detection.
+    # protocol index sets — runs the WHOLE scoring phase in ONE device
+    # program (ops/bootstrap.grouped_scoring): per-pair neural RDM
+    # triangles, full-triangle average-tie point scores, and the
+    # grouped bootstrap (per-iteration selection masks shared across
+    # pairs, per-layer rank passes shared across the pairs that
+    # selected the same layer) — one dispatch + one fetch instead of
+    # ~50 kernel round-trips through the relay, no (P, n, n) RDM
+    # stacks, and no tie detection.
+    # An explicit bootstrap_exact_ties=false forces the per-pair
+    # dense-rank path (the grouped kernel is always average-tie exact,
+    # which would silently ignore that override).
     use_grouped = (bootstrap and method == "spearman"
                    and boot_indices is not None
+                   and cfg.get("bootstrap_exact_ties", "auto") is not False
                    and (mesh is None or mesh.shape.get("data", 1) == 1))
     boot_by_pair = None
+    neural_rdms = None
     if use_grouped:
-        from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation_grouped
+        from visreps_tpu.ops.bootstrap import grouped_scoring
 
-        boot_by_pair = bootstrap_rdm_correlation_grouped(
-            model_rdms,
-            {k: neural_rdms[k] for k in pair_list},
+        neural_mats = {
+            (r, s): _neural_tensor(neural[r][s]["test"], shared_test_ids)
+            for r, s in pair_list
+        }
+        boot_by_pair, point_of_pair = grouped_scoring(
+            model_rdms, neural_mats,
             {(r, s): per_region_layers[r][s] for r, s in pair_list},
             boot_indices)
+        del neural_mats
+    else:
+        # Fallback (other methods, sharded bootstrap, forced dense
+        # ranks): batched neural RDMs + point scores, per-pair
+        # bootstraps pipelined below.
+        neural_tensors = {
+            f"{region}|{subj}": _neural_tensor(neural[region][subj]["test"],
+                                               shared_test_ids)
+            for region, subj in pair_list
+        }
+        if mesh is None or mesh.shape.get("data", 1) == 1:
+            # One program for all neural RDMs (mixed voxel widths are
+            # fine — each entry is its own matmul inside the jit).
+            rdm_dict = jax.jit(lambda d: {k: compute_rdm(v) for k, v in d.items()})(
+                {k: jnp.asarray(v) for k, v in neural_tensors.items()})
+            neural_rdms = {(r, s): rdm_dict[f"{r}|{s}"] for r, s in pair_list}
+        else:
+            neural_rdms = {
+                (r, s): _rdm(neural_tensors[f"{r}|{s}"], mesh, cfg)
+                for r, s in pair_list
+            }
+        del neural_tensors
+        from visreps_tpu.ops.rdm import compute_rdm_correlation_batched
+
+        model_stack = jnp.stack(
+            [model_rdms[per_region_layers[r][s]] for r, s in pair_list])
+        neural_stack = jnp.stack([neural_rdms[k] for k in pair_list])
+        point_scores = np.asarray(
+            compute_rdm_correlation_batched(model_stack, neural_stack, method))
+        del model_stack, neural_stack
+        point_of_pair = {k: float(v) for k, v in zip(pair_list, point_scores)}
 
     # Per-pair fallback (other methods, sharded bootstrap): point
     # scores use average-tie Spearman; the bootstrap fast path uses
@@ -742,45 +799,51 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh=None) -> List[
             model_rdms[layer] = _rdm(exact_acts, mesh, cfg)
             del exact_acts
 
-    # Pipelined pair scoring, same structure as _eval_rsa: batched
-    # point scores (one lax.map program), bootstrap dispatched ahead /
-    # fetched behind, shared index sets.
+    # Scoring, same structure as _eval_rsa: the grouped one-program
+    # path (neural RDMs + point scores + bootstrap fused) when it
+    # applies, else batched point scores + tie-aware per-pair
+    # bootstraps pipelined below.
     from collections import deque
 
+    import jax
+
     from visreps_tpu.ops.bootstrap import bootstrap_indices
-    from visreps_tpu.ops.rdm import compute_rdm_correlation_batched
 
     pair_list = [(r, s) for r in regions for s in subjects]
-    neural_rdms = {}
-    for region, subj in pair_list:
-        neural_tensor = _neural_tensor(test_data["neural"][region][subj], test_ids)
-        neural_rdms[(region, subj)] = _rdm(neural_tensor, mesh, cfg)
-    model_stack = jnp.stack([model_rdms[best_layers[r][s]] for r, s in pair_list])
-    neural_stack = jnp.stack([neural_rdms[k] for k in pair_list])
-    point_scores = np.asarray(
-        compute_rdm_correlation_batched(model_stack, neural_stack, method))
-    del model_stack, neural_stack
-    point_of_pair = {k: float(v) for k, v in zip(pair_list, point_scores)}
-
     boot_indices = (bootstrap_indices(len(test_ids), n_bootstrap, seed=42)
                     if bootstrap and test_ids else None)
 
-    # Grouped one-program bootstrap / tie-aware per-pair fallback, as
-    # in _eval_rsa.
-    import jax
-
     use_grouped = (bootstrap and method == "spearman"
                    and boot_indices is not None
+                   and cfg.get("bootstrap_exact_ties", "auto") is not False
                    and (mesh is None or mesh.shape.get("data", 1) == 1))
     boot_by_pair = None
+    neural_rdms = None
     if use_grouped:
-        from visreps_tpu.ops.bootstrap import bootstrap_rdm_correlation_grouped
+        from visreps_tpu.ops.bootstrap import grouped_scoring
 
-        boot_by_pair = bootstrap_rdm_correlation_grouped(
-            model_rdms,
-            {k: neural_rdms[k] for k in pair_list},
+        neural_mats = {
+            (r, s): _neural_tensor(test_data["neural"][r][s], test_ids)
+            for r, s in pair_list
+        }
+        boot_by_pair, point_of_pair = grouped_scoring(
+            model_rdms, neural_mats,
             {(r, s): best_layers[r][s] for r, s in pair_list},
             boot_indices)
+        del neural_mats
+    else:
+        from visreps_tpu.ops.rdm import compute_rdm_correlation_batched
+
+        neural_rdms = {}
+        for region, subj in pair_list:
+            neural_tensor = _neural_tensor(test_data["neural"][region][subj], test_ids)
+            neural_rdms[(region, subj)] = _rdm(neural_tensor, mesh, cfg)
+        model_stack = jnp.stack([model_rdms[best_layers[r][s]] for r, s in pair_list])
+        neural_stack = jnp.stack([neural_rdms[k] for k in pair_list])
+        point_scores = np.asarray(
+            compute_rdm_correlation_batched(model_stack, neural_stack, method))
+        del model_stack, neural_stack
+        point_of_pair = {k: float(v) for k, v in zip(pair_list, point_scores)}
 
     exact_by_pair = {k: False for k in pair_list}
     if bootstrap and method == "spearman" and not use_grouped:
@@ -906,12 +969,22 @@ def _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose,
                     for r in regions
                 }
                 subject_inputs[subj] = (train_acts, test_acts, y_train, y_test)
+            # Shipping default cv_precision="high": the CV sweep's
+            # per-alpha matmuls only RANK alphas — scores at "high"
+            # match "highest" to 5 decimals on chip at full NSD voxel
+            # scale incl. the 7,604-voxel ventral ROI, with identical
+            # selected layers (BENCH_r03 encoding_high_vs_highest_
+            # score_delta=0.0), while the 48-pair full-NSD eval lands
+            # ~2× faster (~297 s vs ~560 s extrapolated). The Woodbury
+            # small system and the refit stay HIGHEST regardless
+            # (ops/ridge.py). Override encoding_cv_precision=highest to
+            # force full precision everywhere.
             per_subject = compute_encoding_scores_subjects(
                 subject_inputs,
                 bootstrap=cfg.get("bootstrap", True),
                 n_bootstrap=cfg.get("n_bootstrap", 1000),
                 verbose=verbose, reconstruct_pca_k=pca_k,
-                cv_precision=cfg.get("encoding_cv_precision", "highest"),
+                cv_precision=cfg.get("encoding_cv_precision", "high"),
             )
             for subj in subjects:
                 for region in regions:

@@ -182,9 +182,9 @@ def _spearman_exact_body(rdm_a, rdm_b, idx, chunk: int):
 _bootstrap_spearman_exact = jax.jit(_spearman_exact_body, static_argnames=("chunk",))
 
 
-def _spearman_exact_grouped_body(model_tris, neural_tris, pair_model, idx,
-                                 chunk: int, n: int):
-    """Every pair's average-tie Spearman bootstrap in ONE program.
+def _grouped_core(model_tris, neural_tris, pair_model, idx, chunk: int, n: int):
+    """Shared body: every pair's average-tie Spearman bootstrap AND
+    full-triangle point score in ONE traced program.
 
     A multi-subject eval scores P=(regions × subjects) pairs against
     the SAME bootstrap index sets (protocol seed 42); the reference
@@ -198,13 +198,19 @@ def _spearman_exact_grouped_body(model_tris, neural_tris, pair_model, idx,
         P pairs reuse L ≤ P unique selected layers — ranked once per
         layer; per-layer centered vectors and norms are shared too;
       * only the neural-side ranks and the final masked-Pearson
-        reduction are per-pair.
+        reduction are per-pair;
+      * the POINT score (average-tie Spearman of the full triangles)
+        falls out of the tie-segment prep for free — the all-selected
+        average rank is (group_start + group_end)/2 + 1 — so no
+        separate batched rank program (and no (P, n, n) RDM stacks)
+        is needed (VERDICT r3 item 3).
 
     model_tris: (L, M) upper-triangle values of the unique model RDMs.
     neural_tris: (P, M) per-pair neural triangles.
     pair_model: static tuple, pair -> row of model_tris.
     idx: (B, m_sub) without-replacement index sets over n stimuli.
-    Returns (P, B) scores, scipy-exact on ties (average ranks).
+    Returns ((P, B) bootstrap scores, (P,) point scores), scipy-exact
+    on ties (average ranks).
     """
     from visreps_tpu.ops.kendall import _group_starts
 
@@ -233,6 +239,27 @@ def _spearman_exact_grouped_body(model_tris, neural_tris, pair_model, idx,
     pm = jnp.asarray(pair_model, jnp.int32)
 
     m = jnp.float32(m_pairs)
+
+    # ── point scores: full-triangle average-tie ranks from the prep ──
+    def full_ranks(p):
+        order, pos, gs, ge = p
+        return (0.5 * (gs + ge).astype(jnp.float32) + 1.0)[pos]
+
+    def centered_full(p):
+        r = full_ranks(p)
+        d = r - jnp.mean(r)
+        return d, jnp.sum(d * d)
+
+    dm_full, nm_full = jax.lax.map(centered_full, prep_m)   # (L, M), (L,)
+
+    def point_score(args):
+        pn, pmi = args
+        db, db_norm = centered_full(pn)
+        da = jax.lax.dynamic_index_in_dim(dm_full, pmi, axis=0, keepdims=False)
+        na = jax.lax.dynamic_index_in_dim(nm_full, pmi, axis=0, keepdims=False)
+        return jnp.sum(da * db) / jnp.sqrt(na * db_norm)
+
+    points = jax.lax.map(point_score, (prep_n, pm))          # (P,)
 
     # Everything below is lax.map over compact shared bodies — an
     # unrolled per-layer/per-pair formulation traces to a huge HLO that
@@ -266,16 +293,84 @@ def _spearman_exact_grouped_body(model_tris, neural_tris, pair_model, idx,
 
         return jax.lax.map(pair_score, (prep_n, pm)).T  # (c, P)
 
+    if B == 0:
+        return jnp.zeros((P, 0), jnp.float32), points
     chunk = min(chunk, B)
     n_chunks = -(-B // chunk)
     pad = n_chunks * chunk - B
     idx_p = jnp.concatenate([idx, idx[:pad]]) if pad else idx
     scores = jax.lax.map(step, idx_p.reshape(n_chunks, chunk, m_sub))
-    return scores.reshape(-1, P)[:B].T
+    return scores.reshape(-1, P)[:B].T, points
+
+
+def _spearman_exact_grouped_body(model_tris, neural_tris, pair_model, idx,
+                                 chunk: int, n: int):
+    """(P, B) grouped bootstrap scores — see _grouped_core."""
+    scores, _ = _grouped_core(model_tris, neural_tris, pair_model, idx,
+                              chunk, n)
+    return scores
 
 
 _bootstrap_spearman_exact_grouped = jax.jit(
     _spearman_exact_grouped_body, static_argnames=("chunk", "n"))
+
+
+def _grouped_scoring_body(model_rdm_list, neural_mats, pair_model, idx,
+                          chunk: int, n: int):
+    """Neural RDM triangles + point scores + grouped bootstrap, fused.
+
+    model_rdm_list: tuple of (n, n) unique-layer model RDMs;
+    neural_mats: tuple of (n, v_p) response matrices (voxel widths vary
+    per pair). The neural RDMs and every triangle gather happen INSIDE
+    the program, so the scoring phase is one device program + one host
+    fetch — no (P, n, n) RDM stacks, no per-matrix gather dispatches
+    (VERDICT r3 item 3).
+    """
+    from visreps_tpu.ops.rdm import compute_rdm
+
+    iu, ju = jnp.triu_indices(n, k=1)
+    model_tris = jnp.stack([r[iu, ju] for r in model_rdm_list])
+    neural_tris = jnp.stack([compute_rdm(y)[iu, ju] for y in neural_mats])
+    return _grouped_core(model_tris, neural_tris, pair_model, idx, chunk, n)
+
+
+_grouped_scoring = jax.jit(
+    _grouped_scoring_body, static_argnames=("chunk", "n"))
+
+
+def grouped_scoring(
+    model_rdms: dict,
+    pair_neural_mats: dict,
+    pair_layer: dict,
+    indices: np.ndarray,
+    chunk: int = 128,
+):
+    """Whole scoring phase for every pair as ONE device program.
+
+    model_rdms: {layer: (n, n)}; pair_neural_mats: {pair_key: (n, v)
+    response matrices}; pair_layer: {pair_key: layer}. Returns
+    ({pair_key: (B,) float64 bootstrap scores}, {pair_key: float point
+    score}) from one dispatch + one fetch: the per-pair neural RDMs,
+    the full-triangle average-tie Spearman point scores, and the
+    grouped bootstrap all run inside the same program. Always
+    average-tie exact (== dense ranks on tie-free values, scipy-exact
+    on ties).
+    """
+    pair_keys = list(pair_neural_mats)
+    layers = sorted({pair_layer[k] for k in pair_keys})
+    layer_row = {l: i for i, l in enumerate(layers)}
+    n = next(iter(pair_neural_mats.values())).shape[0]
+
+    pair_model = np.asarray(
+        [layer_row[pair_layer[k]] for k in pair_keys], np.int32)
+    scores_dev, points_dev = _grouped_scoring(
+        tuple(jnp.asarray(model_rdms[l], jnp.float32) for l in layers),
+        tuple(jnp.asarray(pair_neural_mats[k], jnp.float32) for k in pair_keys),
+        pair_model, jnp.asarray(indices), chunk, n)
+    scores = np.asarray(scores_dev, dtype=np.float64)
+    points = np.asarray(points_dev, dtype=np.float64)
+    return ({k: scores[i] for i, k in enumerate(pair_keys)},
+            {k: float(points[i]) for i, k in enumerate(pair_keys)})
 
 
 def bootstrap_rdm_correlation_grouped(

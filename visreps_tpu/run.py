@@ -5,10 +5,15 @@ Reference parity: visreps/run.py — same flags (--mode, --config,
 configs/{mode}/base.json, validation before dispatch. TPU addition:
 --procs K subject-shards a multi-subject eval across K concurrent
 processes (each runs the unchanged eval over a disjoint subject
-subset into the one shared WAL results.db) — on relay-attached chips
-the host→device path is per-process-bound, so K processes upload the
-stimulus set ~K× faster; workers stay protocol-exact by intersecting
-shared-test ids over the FULL subject list (shared_test_subjects).
+subset into the one shared WAL results.db); workers stay
+protocol-exact by intersecting shared-test ids over the FULL subject
+list (shared_test_subjects). Use --procs only on directly-attached
+(PCIe-fed) or multi-host TPU deployments, where subject sharding
+parallelizes decode + H2D per host. On a remote-compile RELAY
+terminal it is a large LOSS: the relay serializes dispatch
+round-trips across clients, so per-op latency multiplies (measured
+3-proc e2e 1759 s vs ~290 s single-process — see bench.py and
+CLAUDE.md).
 """
 from __future__ import annotations
 

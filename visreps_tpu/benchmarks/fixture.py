@@ -95,6 +95,164 @@ def _write_jpegs(root: Path):
         Image.fromarray(arr).save(root / f"img_{i:05d}.jpg", quality=85)
 
 
+# ── additional workload fixtures (VERDICT r3 item 2) ─────────────
+# THINGS / TVSD / NSD-Synthetic at BASELINE.md scale, sharing one JPEG
+# pool: the loaders read each stimulus ID's own path, so pointing many
+# IDs at a pool of distinct JPEG files preserves the decode + H2D
+# workload shape without writing 26k unique images.
+
+THINGS_CONCEPTS = _env_int("VISREPS_BENCH_THINGS_CONCEPTS", 1854)
+THINGS_IMGS_PER_CONCEPT = _env_int("VISREPS_BENCH_THINGS_IPC", 14)  # ≈26k
+THINGS_EMB_DIM = 66
+TVSD_CONCEPTS = _env_int("VISREPS_BENCH_TVSD_CONCEPTS", 1854)
+TVSD_IMGS_PER_CONCEPT = _env_int("VISREPS_BENCH_TVSD_IPC", 12)  # 22,248
+TVSD_N_TEST = _env_int("VISREPS_BENCH_TVSD_N_TEST", 100)
+TVSD_N_SITES = _env_int("VISREPS_BENCH_TVSD_N_SITES", 256)
+NSDSYN_N_STIMULI = _env_int("VISREPS_BENCH_NSDSYN_N", 220)
+
+
+def _ensure_jpeg_pool() -> Path:
+    jpeg_dir = FIXTURE_DIR / "jpeg"
+    if not jpeg_dir.exists() or len(os.listdir(jpeg_dir)) < N_JPEG:
+        _write_jpegs(jpeg_dir)
+    return jpeg_dir
+
+
+def ensure_things_fixture() -> dict:
+    """things_split.pkl (concept embeddings + image ids + paths) under a
+    chdir-able root (load_things_data reads a CWD-relative path,
+    reference: visreps/dataloaders/neural.py:313-335)."""
+    root = FIXTURE_DIR / "things_root"
+    meta_path = root / "meta.json"
+    n_images = THINGS_CONCEPTS * THINGS_IMGS_PER_CONCEPT
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+        if (meta.get("n_concepts") == THINGS_CONCEPTS
+                and meta.get("n_images") == n_images):
+            return meta
+
+    pool = sorted(os.listdir(_ensure_jpeg_pool()))
+    pool_paths = [str(FIXTURE_DIR / "jpeg" / f) for f in pool]
+    rng = np.random.Generator(np.random.PCG64(3))
+    embeddings, image_ids, image_paths = {}, {}, {}
+    k = 0
+    for c in range(THINGS_CONCEPTS):
+        concept = f"concept{c:04d}"
+        embeddings[concept] = rng.standard_normal(THINGS_EMB_DIM).astype(np.float32)
+        ids = [f"{concept}_{i:02d}" for i in range(THINGS_IMGS_PER_CONCEPT)]
+        image_ids[concept] = ids
+        for sid in ids:
+            image_paths[sid] = pool_paths[k % len(pool_paths)]
+            k += 1
+
+    pkl_dir = root / "datasets" / "neural" / "things"
+    pkl_dir.mkdir(parents=True, exist_ok=True)
+    with open(pkl_dir / "things_split.pkl", "wb") as f:
+        pickle.dump({"embeddings": embeddings, "image_ids": image_ids,
+                     "image_paths": image_paths}, f,
+                    protocol=pickle.HIGHEST_PROTOCOL)
+    meta = {"root": str(root), "n_concepts": THINGS_CONCEPTS,
+            "n_images": n_images}
+    meta_path.write_text(json.dumps(meta))
+    return meta
+
+
+def ensure_tvsd_fixture() -> dict:
+    """fmri_responses.pkl (2 monkeys × V1/V4/IT, 22,248 train / 100
+    test) + THINGS-convention image symlinks into the JPEG pool
+    (reference: visreps/dataloaders/neural.py:393-460)."""
+    root = FIXTURE_DIR / "tvsd_root"
+    meta_path = root / "meta.json"
+    n_train = TVSD_CONCEPTS * TVSD_IMGS_PER_CONCEPT
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+        if meta.get("n_train") == n_train and meta.get("n_test") == TVSD_N_TEST:
+            return meta
+
+    pool = sorted(os.listdir(_ensure_jpeg_pool()))
+    pool_paths = [FIXTURE_DIR / "jpeg" / f for f in pool]
+
+    train_ids = [f"concept{c:04d}_{i:02d}"
+                 for c in range(TVSD_CONCEPTS)
+                 for i in range(TVSD_IMGS_PER_CONCEPT)]
+    test_ids = [f"testconcept{j:04d}_00" for j in range(TVSD_N_TEST)]
+
+    # THINGS image-path convention: images/object_images/<concept>/<sid>.jpg
+    bonner = root / "bonner" / "hebart2019.things" / "images" / "object_images"
+    for k, sid in enumerate(train_ids + test_ids):
+        concept = "_".join(sid.split("_")[:-1])
+        d = bonner / concept
+        d.mkdir(parents=True, exist_ok=True)
+        link = d / f"{sid}.jpg"
+        if not link.exists():
+            os.symlink(pool_paths[k % len(pool_paths)], link)
+
+    rng = np.random.Generator(np.random.PCG64(4))
+    data = {}
+    for region in ("V1", "V4", "IT"):
+        data[region] = {}
+        for subj in (0, 1):
+            data[region][subj] = {
+                "train": {"stimulus": list(train_ids),
+                          "values": rng.standard_normal(
+                              (n_train, TVSD_N_SITES)).astype(np.float32)},
+                "test": {"stimulus": list(test_ids),
+                         "values": rng.standard_normal(
+                             (TVSD_N_TEST, TVSD_N_SITES)).astype(np.float32)},
+            }
+    pkl_dir = root / "datasets" / "neural" / "tvsd"
+    pkl_dir.mkdir(parents=True, exist_ok=True)
+    with open(pkl_dir / "fmri_responses.pkl", "wb") as f:
+        pickle.dump(data, f, protocol=pickle.HIGHEST_PROTOCOL)
+    meta = {"root": str(root), "bonner_home": str(root / "bonner"),
+            "n_train": n_train, "n_test": TVSD_N_TEST,
+            "n_sites": TVSD_N_SITES}
+    meta_path.write_text(json.dumps(meta))
+    return meta
+
+
+def ensure_nsd_synthetic_fixture() -> dict:
+    """nsd_synthetic_data.pkl (220 shared stimuli × 8 subjects × 6
+    regions) + stimuli/<name>.png (reference: visreps/dataloaders/
+    neural.py:192-241)."""
+    root = FIXTURE_DIR / "nsd_synthetic"
+    meta_path = root / "meta.json"
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+        if (meta.get("n_stimuli") == NSDSYN_N_STIMULI
+                and meta.get("n_subjects") == N_SUBJECTS
+                and meta.get("regions") == REGIONS):
+            return meta
+
+    from PIL import Image
+
+    stim_dir = root / "stimuli"
+    stim_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.Generator(np.random.PCG64(5))
+    names = [f"synth{i:03d}" for i in range(NSDSYN_N_STIMULI)]
+    for n in names:
+        arr = rng.integers(0, 256, (IMG_SIZE, IMG_SIZE, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(stim_dir / f"{n}.png")
+
+    data = {}
+    for region in REGIONS:
+        data[region] = {}
+        for subj in range(N_SUBJECTS):
+            data[region][subj] = {
+                "stimulus": list(names),
+                "values": rng.standard_normal(
+                    (len(names), N_VOXELS)).astype(np.float32),
+            }
+    with open(root / "nsd_synthetic_data.pkl", "wb") as f:
+        pickle.dump({"shared_stimulus_names": names, "data": data}, f,
+                    protocol=pickle.HIGHEST_PROTOCOL)
+    meta = {"root": str(root), "n_stimuli": NSDSYN_N_STIMULI,
+            "n_subjects": N_SUBJECTS, "regions": REGIONS,
+            "n_voxels": N_VOXELS}
+    meta_path.write_text(json.dumps(meta))
+    return meta
+
+
 def ensure_fixture() -> dict:
     """Create the fixture if absent; return paths + build metadata."""
     FIXTURE_DIR.mkdir(parents=True, exist_ok=True)

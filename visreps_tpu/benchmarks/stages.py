@@ -490,6 +490,266 @@ def stage_e2e_measured_mp(n_procs=3, batch_size=128, worker_env=None):
     }
 
 
+def _workload_db():
+    """Point core.db at a scratch results.db; return its path."""
+    import tempfile
+    from pathlib import Path
+
+    import visreps_tpu.core.db as db
+    import visreps_tpu.evals as evals
+
+    db_path = Path(tempfile.mkdtemp(prefix="bench_workload_")) / "results.db"
+    db.RESULTS_DB_PATH = db_path
+    evals.RESULTS_DB_PATH = db_path
+    return db_path
+
+
+def stage_things_e2e(batch_size=512, num_workers=16, n_bootstrap=1000,
+                     srp_k=4096):
+    """MEASURED THINGS behavioral e2e (BASELINE.json configs[1] scale).
+
+    Real `evals.eval` things-behavior branch over the on-disk fixture:
+    ~26k images (1,854 concepts × 14) through the JPEG loader, all-tap
+    SRP extraction, concept averaging, 20/80 concept split, layer
+    selection, exact single-layer re-extraction over ALL images,
+    1,854-concept-scale eval RDM + 1000-iteration bootstrap, results.db
+    write. Reference workload: visreps/evals.py:94-155 over
+    dataloaders/neural.py:313-335.
+    """
+    from visreps_tpu.benchmarks.fixture import ensure_things_fixture
+    from visreps_tpu.core.config import Config
+
+    meta = ensure_things_fixture()
+    os.chdir(meta["root"])
+    db_path = _workload_db()
+
+    import visreps_tpu.evals as evals
+
+    cfg = Config({
+        "mode": "eval", "seed": 1, "neural_dataset": "things-behavior",
+        "region": "N/A", "subject_idx": "N/A",
+        "analysis": "rsa", "compare_method": "spearman",
+        "bootstrap": True, "n_bootstrap": n_bootstrap,
+        "batchsize": batch_size, "num_workers": num_workers,
+        "load_model_from": "torchvision", "model_name": "AlexNet",
+        "pretrained_dataset": "none", "extract_pre_and_post": True,
+        "srp_k": srp_k, "uint8_transfer": True, "log_expdata": True,
+    })
+    cfg.epoch = -1
+    cfg.cfg_id = "untrained"
+
+    t0 = time.perf_counter()
+    results = evals.eval(cfg)
+    wall = time.perf_counter() - t0
+
+    import sqlite3
+
+    conn = sqlite3.connect(str(db_path))
+    n_rows = conn.execute("SELECT COUNT(*) FROM results").fetchone()[0]
+    conn.close()
+    return {"things_e2e_s": wall, "n_images": meta["n_images"],
+            "n_concepts": meta["n_concepts"], "n_results": len(results),
+            "db_rows": n_rows}
+
+
+def stage_tvsd_e2e(batch_size=512, num_workers=16, n_bootstrap=1000,
+                   n_select=1000, srp_k=4096):
+    """MEASURED TVSD macaque e2e: 22,248 train / 100 test × 2 monkeys ×
+    V1/V4/IT, two-phase RSA + bootstraps through the real `evals.eval`.
+    Reference workload: visreps/dataloaders/neural.py:393-460.
+    """
+    from visreps_tpu.benchmarks.fixture import ensure_tvsd_fixture
+    from visreps_tpu.core.config import Config
+
+    meta = ensure_tvsd_fixture()
+    os.chdir(meta["root"])
+    os.environ["BONNER_DATASETS_HOME"] = meta["bonner_home"]
+    db_path = _workload_db()
+
+    import visreps_tpu.evals as evals
+
+    cfg = Config({
+        "mode": "eval", "seed": 1, "neural_dataset": "tvsd",
+        "subject_idx": [0, 1], "region": ["V1", "V4", "IT"],
+        "analysis": "rsa", "compare_method": "spearman",
+        "bootstrap": True, "n_bootstrap": n_bootstrap, "n_select": n_select,
+        "batchsize": batch_size, "num_workers": num_workers,
+        "load_model_from": "torchvision", "model_name": "AlexNet",
+        "pretrained_dataset": "none", "extract_pre_and_post": True,
+        "srp_k": srp_k, "uint8_transfer": True, "log_expdata": True,
+    })
+    cfg.epoch = -1
+    cfg.cfg_id = "untrained"
+
+    t0 = time.perf_counter()
+    results = evals.eval(cfg)
+    wall = time.perf_counter() - t0
+
+    import sqlite3
+
+    conn = sqlite3.connect(str(db_path))
+    n_rows = conn.execute("SELECT COUNT(*) FROM results").fetchone()[0]
+    conn.close()
+    return {"tvsd_e2e_s": wall, "n_train": meta["n_train"],
+            "n_test": meta["n_test"], "n_results": len(results),
+            "db_rows": n_rows,
+            **{f"phase_{k}": round(v, 1)
+               for k, v in evals.LAST_PHASE_TIMES.items()}}
+
+
+def stage_nsd_synthetic_e2e(batch_size=256, num_workers=16, n_bootstrap=1000,
+                            srp_k=4096):
+    """MEASURED NSD-Synthetic e2e: 220 OOD stimuli × 8 subjects × 6
+    regions with the REAL results.db layer-reuse lookup (the stage
+    seeds the NSD rows the way a prior NSD eval would, then times the
+    synthetic branch). Reference: visreps/evals.py:404-548.
+    """
+    from visreps_tpu.benchmarks.fixture import ensure_nsd_synthetic_fixture
+    from visreps_tpu.core.config import Config
+    from visreps_tpu.core.db import save_results
+
+    meta = ensure_nsd_synthetic_fixture()
+    os.environ["NSD_SYNTHETIC_DATA_DIR"] = meta["root"]
+    _workload_db()
+
+    import visreps_tpu.data.neural as neural_mod
+    import visreps_tpu.evals as evals
+
+    pkl_to_full = {v: k for k, v in neural_mod._NSD_REGION_MAP.items()}
+    regions = [pkl_to_full[r] for r in meta["regions"]]
+    subjects = list(range(meta["n_subjects"]))
+    cfg = Config({
+        "mode": "eval", "seed": 1, "neural_dataset": "nsd_synthetic",
+        "subject_idx": subjects, "region": regions,
+        "analysis": "rsa", "compare_method": "spearman",
+        "bootstrap": True, "n_bootstrap": n_bootstrap,
+        "batchsize": batch_size, "num_workers": num_workers,
+        "load_model_from": "torchvision", "model_name": "AlexNet",
+        "pretrained_dataset": "none", "extract_pre_and_post": True,
+        "srp_k": srp_k, "log_expdata": True,
+    })
+    cfg.epoch = -1
+    cfg.cfg_id = "untrained"
+
+    # Seed the NSD selections the synthetic branch looks up (run_id
+    # parity with evals._lookup_nsd_best_layers).
+    for region in regions:
+        for subj in subjects:
+            nsd_cfg = cfg.merge({
+                "neural_dataset": "nsd", "analysis": "rsa",
+                "subject_idx": subj, "region": region,
+                "compare_method": "spearman",
+            })
+            save_results([{
+                "layer": "conv5_post", "compare_method": "spearman",
+                "score": 0.5, "ci_low": 0.45, "ci_high": 0.55,
+                "analysis": "rsa", "layer_selection_scores": [],
+            }], nsd_cfg)
+
+    t0 = time.perf_counter()
+    results = evals.eval(cfg)
+    wall = time.perf_counter() - t0
+    return {"nsd_synthetic_e2e_s": wall, "n_stimuli": meta["n_stimuli"],
+            "n_results": len(results)}
+
+
+def stage_cross_model(n_images=256, batch_size=64, srp_k=4096, models=None,
+                      tiny_towers=False):
+    """MEASURED cross-model RDM matrices (BASELINE.json configs[3]):
+    CLIP ViT-L/14 + DINOv2-L + ViT-B towers + AlexNet, all-layer
+    extraction over a shared stimulus set and every pairwise
+    layer×layer RDM-correlation matrix. Uses pretrained HF weights when
+    the local cache has them, config-initialized towers otherwise (the
+    compute path is identical).
+    """
+    import tempfile
+
+    from visreps_tpu.analysis.cross_model_rdms import run
+
+    models = models or ["AlexNet", "ViTBase", "clip-vit-l14", "dinov2-l14"]
+    pretrained = True
+    try:  # zero-egress: HF cache may be absent
+        from transformers import CLIPModel
+
+        CLIPModel.from_pretrained("openai/clip-vit-large-patch14",
+                                  local_files_only=True)
+    except Exception:
+        pretrained = False
+
+    out = os.path.join(tempfile.mkdtemp(prefix="bench_xmodel_"),
+                       "cross_model_rdms.npz")
+    t0 = time.perf_counter()
+    payload = run(models, f"synthetic:{n_images}", out, srp_k=srp_k,
+                  batch_size=batch_size, pretrained=pretrained,
+                  tiny_towers=tiny_towers)
+    wall = time.perf_counter() - t0
+    n_pairs = sum(1 for k in payload if k.startswith("corr__"))
+    return {"cross_model_rdm_s": wall, "n_models": len(models),
+            "n_images": n_images, "n_pair_matrices": n_pairs,
+            "pretrained_weights": pretrained}
+
+
+def stage_workloads():
+    """THINGS + TVSD + NSD-Synthetic + cross-model in ONE process.
+
+    Amortizes interpreter/jax/fixture startup across the four
+    BASELINE.json workloads and prints a CUMULATIVE JSON line after
+    each, so a timeout (stage abandoned, later late-harvested once the
+    orphan exits) still delivers every measurement that completed.
+    """
+    sub = [
+        ("things", stage_things_e2e),
+        ("tvsd", stage_tvsd_e2e),
+        ("nsd_synthetic", stage_nsd_synthetic_e2e),
+        ("cross_model", stage_cross_model),
+    ]
+    acc: dict = {}
+    for name, fn in sub:
+        try:
+            acc.update(fn())
+        except Exception as e:  # keep measuring the rest
+            acc[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+        print(json.dumps({"stage": "workloads", "cumulative": True, **acc}), flush=True)
+    return acc
+
+
+def stage_kernels():
+    """All kernel/throughput micro-benchmarks in ONE process.
+
+    One jax init + one warm device instead of seven interpreter
+    startups; prints a cumulative JSON line after each measurement
+    (same late-harvest contract as stage_workloads).
+    """
+    sub = [
+        ("kendall", lambda: {"kendall_bootstraps_per_sec": round(
+            stage_bootstrap(method="kendall", chunk=250)["bootstraps_per_sec"], 1)}),
+        ("bootstrap", lambda: {"rsa_bootstraps_per_sec": round(
+            stage_bootstrap()["bootstraps_per_sec"], 1)}),
+        ("extract", lambda: {"extract_images_per_sec_per_chip": round(
+            stage_extract()["images_per_sec"], 1)}),
+        ("selection_device", lambda: {"layer_selection_s_per_subject": round(
+            stage_selection_device()["selection_s"], 3)}),
+        ("rdm_pallas", lambda: (lambda r: {
+            "rdm_pallas_bf16_ms": round(r["rdm_pallas_bf16_ms"], 1),
+            "rdm_pallas_f32_ms": round(r["rdm_pallas_f32_ms"], 1)})(
+                stage_rdm_pallas())),
+        ("rdm", lambda: {"rdm_10kx10k_ms": round(stage_rdm()["rdm_ms"], 1)}),
+        ("train", lambda: {"train_images_per_sec_per_chip": round(
+            stage_train()["train_images_per_sec"], 1)}),
+        ("h2d", lambda: {"h2d_MB_per_s": round(stage_h2d()["h2d_MB_per_s"], 1)}),
+        ("decode", lambda: {"host_decode_images_per_sec": round(
+            stage_decode()["decode_images_per_sec"], 1)}),
+    ]
+    acc: dict = {}
+    for name, fn in sub:
+        try:
+            acc.update(fn())
+        except Exception as e:
+            acc[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+        print(json.dumps({"stage": "kernels", "cumulative": True, **acc}), flush=True)
+    return acc
+
+
 def stage_decode(n_images=4096, num_workers=16, batch_size=256):
     """Host JPEG decode+transform throughput through the real loader."""
     from visreps_tpu.benchmarks.fixture import ensure_fixture
@@ -625,6 +885,12 @@ STAGES = {
     "e2e_measured": stage_e2e_measured,
     "e2e_measured_mp": stage_e2e_measured_mp,
     "e2e_worker": stage_e2e_worker,
+    "things_e2e": stage_things_e2e,
+    "tvsd_e2e": stage_tvsd_e2e,
+    "nsd_synthetic_e2e": stage_nsd_synthetic_e2e,
+    "cross_model": stage_cross_model,
+    "workloads": stage_workloads,
+    "kernels": stage_kernels,
     "decode": stage_decode,
     "h2d": stage_h2d,
     "h2d_streams": stage_h2d_streams,

@@ -356,6 +356,10 @@ def get_neural_loader(cfg):
             "neural_dataset must be 'nsd', 'things-behavior', 'nsd_synthetic', 'cusack', or 'tvsd'"
         )
     loader = make_stimuli_loader(
-        stimuli, get_transform("imgnet"), cfg["batchsize"], cfg.get("num_workers", 16)
+        stimuli,
+        # uint8_transfer: ship unnormalized uint8 batches (4x less H2D
+        # traffic); the extractor normalizes on device (extractor.py).
+        get_transform("imgnet", normalize=not cfg.get("uint8_transfer", False)),
+        cfg["batchsize"], cfg.get("num_workers", 16),
     )
     return targets, loader

@@ -211,3 +211,50 @@ class TestMeshWiring:
         run_mod.main(["--mode", "eval", "--override", *overrides])
         assert seen["mesh"] is not None
         assert seen["mesh"].shape == {"data": 8, "model": 1}
+
+
+class TestPhase1Multisubject:
+    def test_multisubject_flag_matches_default(self, monkeypatch, tmp_path):
+        """phase1_multisubject=true (one program for all subjects) must
+        reproduce the default per-subject fused selection exactly —
+        same layers, scores, CIs — across 2 regions x 2 subjects."""
+        rng = np.random.RandomState(3)
+        regions = ["early visual stream", "ventral visual stream"]
+        train_ids = [str(i) for i in range(N_TRAIN)]
+        test_ids = [str(1000 + i) for i in range(N_TEST)]
+        stimuli = {sid: (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+                   for sid in train_ids + test_ids}
+        neural = {}
+        for region in regions:
+            neural[region] = {}
+            for subj in SUBJECTS:
+                neural[region][subj] = {
+                    "train": {sid: rng.randn(N_VOX).astype(np.float32)
+                              for sid in train_ids},
+                    "test": {sid: rng.randn(N_VOX).astype(np.float32)
+                             for sid in test_ids},
+                }
+        all_data = {"regions": regions, "subjects": SUBJECTS,
+                    "neural": neural, "stimuli": stimuli,
+                    "shared_test_ids": test_ids}
+        monkeypatch.setattr(
+            evals, "load_all_nsd_data",
+            lambda cfg, subjects=None, regions=None: all_data)
+        monkeypatch.setitem(evals.TORCHVISION_RETURN_NODES, "TinyCustomCNN",
+                            ["conv4", "conv5", "fc1"])
+        db_path = tmp_path / "results.db"
+        monkeypatch.setattr(core_db, "RESULTS_DB_PATH", db_path)
+        monkeypatch.setattr(evals, "RESULTS_DB_PATH", db_path)
+
+        runs = {}
+        for flag in (False, True):
+            # acts_store="device" so the on_device batched path engages
+            runs[flag] = evals.eval(_cfg(
+                region=regions, phase1_multisubject=flag,
+                acts_store="device", log_expdata=False))
+        assert len(runs[True]) == len(SUBJECTS) * len(regions)
+        for a, b in zip(runs[False], runs[True]):
+            assert a["layer"] == b["layer"]
+            np.testing.assert_allclose(a["score"], b["score"], atol=1e-5)
+            np.testing.assert_allclose(a["ci_low"], b["ci_low"], atol=1e-5)
+            np.testing.assert_allclose(a["ci_high"], b["ci_high"], atol=1e-5)

@@ -423,12 +423,11 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
                     style="info",
                 )
 
-    # Stage every subject's rows + responses, then batch: subjects that
-    # share selection-row count and per-region voxel widths run as ONE
-    # multi-subject program (the per-subject dispatches were phase 1's
-    # dominant, high-variance relay cost — 7.4-29.9 s spread for
-    # identical code, VERDICT r3 item 3). Heterogeneous subjects fall
-    # back to the per-subject fused / per-pair pipelined paths.
+    # Stage every subject's rows + responses first; subjects that share
+    # selection-row count and per-region voxel widths CAN run as one
+    # multi-subject program (see below for why that is opt-in);
+    # otherwise each subject dispatches its own fused program with
+    # 3-deep pipelined fetches.
     staged = {}
     for subj in subjects:
         rows_by_region, neural_by_region = {}, {}
@@ -439,8 +438,15 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
             np.array_equal(rows_by_region[r], rows0) for r in regions[1:])
         staged[subj] = (rows_by_region, neural_by_region, rows0, grouped)
 
+    # Opt-in (phase1_multisubject=true): the all-subjects program runs
+    # in 0.5 s but COMPILES for 60-135 s, and that compile does not
+    # reliably persist across processes on the relay toolchain
+    # (measured: the per-process e2e recompiled it while the grouped
+    # scoring program cache-hit fine) — whereas the per-subject fused
+    # program compiles in ~2.5 s and its 8 pipelined dispatches cost a
+    # few seconds. Worth enabling only where compiles are local/cheap.
     multisubj: Dict = {}
-    if on_device:
+    if on_device and cfg.get("phase1_multisubject", False):
         for subj, (_, nbr, rows0, grouped) in staged.items():
             if grouped:
                 key = (len(rows0), tuple(nbr[r].shape for r in regions))

@@ -2,8 +2,9 @@
 
 Reference parity: visreps/analysis/alignment.py — AlignmentData bundle,
 ID-based alignment, train/test preparation, concept averaging, and the
-rsa/encoding dispatch. Arrays are numpy on host (activations stream in
-from the extractor); the analysis kernels move them to device.
+rsa/encoding dispatch. Arrays are numpy on host by default (activations
+stream in from the extractor); device-resident activation stores stay
+on device (concept averaging then runs as one segment-sum program).
 """
 from __future__ import annotations
 
@@ -59,7 +60,12 @@ def prepare_traintest_alignment(cfg, acts_raw, neural_data_raw, keys):
 def prepare_concept_alignment(cfg, acts_raw, neural_data_raw, keys) -> AlignmentData:
     """Average activations per THINGS concept; pair with embeddings.
 
-    Reference: alignment.py:117-162.
+    Reference: alignment.py:117-162. Device-resident activations (the
+    acts_store="device" bulk path) are averaged ON DEVICE with one
+    segment-sum program over the whole tap dict — the host path would
+    first fetch the full (N, k × taps) store across the device link.
+    Device means are float32 (sum/count of the bf16 store); the host
+    path keeps the reference's input-dtype contract.
     """
     key_to_idx = {k: i for i, k in enumerate(keys)}
     embeddings = neural_data_raw["embeddings"]
@@ -67,22 +73,56 @@ def prepare_concept_alignment(cfg, acts_raw, neural_data_raw, keys) -> Alignment
 
     concepts: List[str] = []
     concept_image_ids: Dict[str, List[str]] = {}
-    per_layer: Dict[str, list] = {l: [] for l in acts_raw}
 
     for concept, img_ids in image_ids.items():
-        indices = [key_to_idx[sid] for sid in img_ids if sid in key_to_idx]
-        if not indices:
+        matched = [sid for sid in img_ids if sid in key_to_idx]
+        if not matched:
             continue
         concepts.append(concept)
-        concept_image_ids[concept] = [sid for sid in img_ids if sid in key_to_idx]
-        idx = np.asarray(indices)
-        for l, a in acts_raw.items():
-            per_layer[l].append(a[idx].astype(np.float32).mean(axis=0))
+        concept_image_ids[concept] = matched
 
-    acts = {l: np.stack(v).astype(acts_raw[l].dtype) for l, v in per_layer.items()}
+    import jax
+    import jax.numpy as jnp
+
+    if acts_raw and isinstance(next(iter(acts_raw.values())), jax.Array):
+        n_stimuli = next(iter(acts_raw.values())).shape[0]
+        seg = np.full(n_stimuli, len(concepts), np.int32)  # dump row
+        counts = np.zeros(len(concepts), np.float32)
+        for gi, c in enumerate(concepts):
+            for sid in concept_image_ids[c]:
+                seg[key_to_idx[sid]] = gi
+            counts[gi] = len(concept_image_ids[c])
+        acts = _concept_means_device(
+            dict(acts_raw), jnp.asarray(seg), jnp.asarray(counts), len(concepts))
+    else:
+        per_layer: Dict[str, list] = {l: [] for l in acts_raw}
+        for c in concepts:
+            idx = np.asarray([key_to_idx[sid] for sid in concept_image_ids[c]])
+            for l, a in acts_raw.items():
+                per_layer[l].append(a[idx].astype(np.float32).mean(axis=0))
+        acts = {l: np.stack(v).astype(acts_raw[l].dtype) for l, v in per_layer.items()}
+
     neural = np.stack([np.asarray(embeddings[c], np.float32) for c in concepts])
     logger.info("Prepared concept alignment: %d concepts.", len(concepts))
     return AlignmentData(acts, neural, stimulus_ids=concepts, concept_image_ids=concept_image_ids)
+
+
+def _concept_means_device(acts, seg, counts, num: int):
+    """One program: float32 segment-mean of every tap. Rows assigned to
+    segment `num` (images in no matched concept) are discarded."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def _means(d, s, c, n):
+        return {
+            l: jax.ops.segment_sum(
+                a.astype(jnp.float32), s, num_segments=n + 1)[:n] / c[:, None]
+            for l, a in d.items()
+        }
+
+    return _means(acts, seg, counts, num)
 
 
 def compute_traintest_alignment(cfg, train: AlignmentData, test: AlignmentData,

@@ -279,7 +279,11 @@ def compute_rsa(
     if re_extract_fn is not None:
         rprint(f"  Re-extracting {best_layer} without SRP for exact test RDMs...", style="info")
         exact_acts, _ = re_extract_fn(best_layer, evaluation.stimulus_ids)
-        test_acts_flat = _flat(np.asarray(exact_acts))
+        # Device-resident re-extractions (e.g. device-averaged concept
+        # means) stay on device — np.asarray would fetch the matrix
+        # across the link only for compute_rdm to re-upload it.
+        test_acts_flat = _flat(exact_acts if isinstance(exact_acts, jax.Array)
+                               else np.asarray(exact_acts))
     else:
         test_acts_flat = _flat(evaluation.activations[best_layer])
 

@@ -824,6 +824,68 @@ def stage_h2d_streams(batch_size=256, iters=24,
             "h2d_MB_per_s": out[best]}
 
 
+def stage_phase1_probe(n=73000, k=4096, n_taps=14, n_sel=1000, n_regions=6,
+                       n_subjects=8, n_voxels=512):
+    """Decompose the e2e's phase-1 cost at workload scale.
+
+    Builds the device-resident bf16 tap store (14 × 73000 × 4096, the
+    shape the real eval holds after extraction), then times the fused
+    per-subject selection program (analysis/rsa.
+    _select_scores_multipair_fused) three ways: cold (compile + run),
+    warm single call, and the real 8-subject loop with 3-deep pipelined
+    fetches (the exact evals.py structure). Separates compile cost,
+    per-dispatch relay latency, and host staging from one another —
+    phase-1 wall has been the most variable e2e phase across rounds
+    (7.4→159 s for identical code).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from visreps_tpu.analysis.rsa import _select_scores_multipair_fused
+
+    taps = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (n, k), jnp.bfloat16)
+        for i in range(n_taps))
+    _force(taps[-1][:1])
+
+    rng = np.random.RandomState(0)
+    rows_all = [np.sort(rng.choice(n, n_sel, replace=False)).astype(np.int32)
+                for _ in range(n_subjects)]
+    neural_all = [tuple(rng.randn(n_sel, n_voxels).astype(np.float32)
+                        for _ in range(n_regions))
+                  for _ in range(n_subjects)]
+
+    def call(s):
+        return _select_scores_multipair_fused(
+            taps, jnp.asarray(rows_all[s]),
+            tuple(jnp.asarray(v) for v in neural_all[s]), "spearman", False)
+
+    t0 = time.perf_counter()
+    np.asarray(jax.device_get(call(0)))
+    cold_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    np.asarray(jax.device_get(call(1)))
+    warm_s = time.perf_counter() - t0
+
+    # The evals.py structure: dispatch ahead, fetch 3 behind.
+    from collections import deque
+
+    pending: deque = deque()
+    t0 = time.perf_counter()
+    for s in range(n_subjects):
+        pending.append(call(s))
+        if len(pending) >= 3:
+            np.asarray(jax.device_get(pending.popleft()))
+    while pending:
+        np.asarray(jax.device_get(pending.popleft()))
+    loop_s = time.perf_counter() - t0
+
+    return {"phase1_cold_s": round(cold_s, 2), "phase1_warm_call_s": round(warm_s, 2),
+            "phase1_loop8_s": round(loop_s, 2),
+            "per_subject_s": round(loop_s / n_subjects, 2)}
+
+
 def stage_train(batch_size=256, iters=8):
     """CustomCNN train-step throughput (fwd+bwd+adamw, 224 images).
 
@@ -875,6 +937,7 @@ STAGES = {
     "bootstrap_kendall": lambda: stage_bootstrap(n=1000, n_bootstrap=1000, method="kendall", chunk=250),
     "selection": stage_selection,
     "selection_device": stage_selection_device,
+    "phase1_probe": stage_phase1_probe,
     "ridge": stage_ridge,
     # Default "high": the CV sweep's per-alpha matmuls only rank
     # alphas; measured scores match "highest" to 4 decimals on chip

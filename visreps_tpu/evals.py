@@ -277,7 +277,21 @@ def _eval_things(cfg, verbose, mesh=None):
     neural_data, dl = get_neural_loader(cfg)
     rprint("  THINGS data loaded", style="success")
 
-    acts, ids = extractor.get_activations(dl)
+    # Same HBM-residency policy as the NSD/TVSD branch: keep the bf16
+    # SRP store on device when it fits, so concept averaging (one
+    # segment-sum program) and layer selection run without fetching the
+    # (26k, 4096 × 14) store across the device link.
+    store = cfg.get("acts_store", "auto")
+    if store == "auto":
+        import jax as _jax
+
+        n_est = len(getattr(dl, "dataset", ()) or ())
+        est_bytes = 2 * n_est * sum(extractor.out_dims().values())
+        store = ("device"
+                 if (_jax.default_backend() != "cpu" and 0 < est_bytes < 9e9)
+                 else "host")
+    acts, ids = extractor.get_activations(dl, store=store)
+    extractor.free_projection_cache()
     all_concepts = prepare_concept_alignment(cfg, acts, neural_data, ids)
     del acts, neural_data
 
@@ -304,7 +318,18 @@ def _eval_things(cfg, verbose, mesh=None):
     del all_concepts
     rprint(f"  {n_sel} selection concepts, {len(eval_idx)} evaluation concepts", style="success")
 
+    # PC reconstruction needs the raw per-image matrix on host, so it
+    # keeps the fetch-then-average path; otherwise the exact per-image
+    # activations are concept-averaged ON DEVICE during the
+    # re-extraction forward (a scatter-add epilogue) — only the
+    # (1484, D) means ever leave the device instead of the raw
+    # (26k, D) float32 matrix (~6.7 GB at conv3 resolution).
+    device_avg = store == "device" and not cfg.get("reconstruct_from_pcs")
+
     def re_extract_fn(layer, sids=None):
+        if device_avg:
+            return extractor.extract_single_layer_mean(
+                dl, layer, evaluation.concept_image_ids, evaluation.stimulus_ids)
         raw_acts, raw_ids = extractor.extract_single_layer(dl, layer)
         if cfg.get("reconstruct_from_pcs"):
             raw_acts = np.asarray(reconstruct_from_pcs({layer: raw_acts}, cfg.pca_k)[layer])
@@ -437,6 +462,10 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
         grouped = same_width and len(regions) > 1 and all(
             np.array_equal(rows_by_region[r], rows0) for r in regions[1:])
         staged[subj] = (rows_by_region, neural_by_region, rows0, grouped)
+    # Sub-phase split (observability: phase-1 wall = host staging of the
+    # 48 (rows, responses) pairs + device dispatch/fetch of the fused
+    # selection programs — the two move independently on a relay host).
+    LAST_PHASE_TIMES["phase1_staging_s"] = _time.perf_counter() - _t0
 
     # Opt-in (phase1_multisubject=true): the all-subjects program runs
     # in 0.5 s but COMPILES for 60-135 s, and that compile does not

@@ -174,6 +174,21 @@ class FeatureExtractor:
         # calls with the same layer set compile once.
         self._multi_step = jax.jit(_multi_step, static_argnames=("points",))
 
+        def _seg_step(acc, variables, seg, x, point):
+            # Forward one batch and scatter-add its flattened tap rows
+            # into the per-group accumulator — the group means are the
+            # only thing that ever leaves the device (see
+            # extract_single_layer_mean). Donating `acc` reuses the
+            # (G+1, D) buffer across batches.
+            if x.dtype == jnp.uint8:
+                x = (x.astype(jnp.float32) / 255.0 - norm_mean) / norm_std
+            _, taps = module.apply(variables, x, train=False, capture=(point,))
+            t = taps[point].reshape(x.shape[0], -1).astype(jnp.float32)
+            return acc.at[seg].add(t)
+
+        self._seg_step = jax.jit(
+            _seg_step, static_argnames=("point",), donate_argnums=(0,))
+
     # ── projection matrices (built once, HBM-resident) ──────────
     def _proj_dict(self):
         proj = {name: self.srp.matrix(d) for name, d in self.tap_dims.items()}
@@ -469,6 +484,67 @@ class FeatureExtractor:
         is safe to call once bulk SRP extraction is done — phase-2
         exact re-extraction never touches them."""
         self.srp._cache.clear()
+
+    def extract_single_layer_mean(self, loader: Iterable, layer_name: str,
+                                  groups: dict, group_order: Sequence[str]):
+        """Per-GROUP means of one tap's full-resolution activations,
+        averaged ON DEVICE during extraction.
+
+        The THINGS eval concept-averages exact (no-SRP) activations of
+        ~26k images (reference: models/utils.py:350-404 feeding
+        rsa.py:284-305 — fine on a local GPU, but fetching the raw
+        (26k, 65k) float32 matrix moves ~6.7 GB across the device link
+        before a single mean is taken). Here every batch's tap rows are
+        scatter-added into a (G+1, D) accumulator inside the same
+        program as the forward; only the (G, D) group means ever exist
+        beyond the batch. Stimuli not in any group land in dump row G
+        (alongside the zero-padded tail rows) and are discarded.
+
+        groups: {group_key: [stimulus ids]}; group_order: output row
+        order. Returns ((G, D) float32 device means, list(group_order)).
+        Means are sum/count in float32 — numerically within float32
+        round-off of the host np.mean path (≤ ~1e-6 relative at the
+        ≤ dozens-of-images-per-concept workload scale).
+        """
+        point = None
+        for p in self.points:
+            if self.alias[p] == layer_name or p == layer_name:
+                point = p
+                break
+        if point is None:
+            raise KeyError(
+                f"Layer {layer_name!r} not among extraction points {self.points}")
+
+        seg_of = {}
+        for gi, g in enumerate(group_order):
+            for sid in groups[g]:
+                seg_of[str(sid)] = gi
+        G = len(group_order)
+        D = self.tap_dims[self.alias[point]]
+
+        acc = jnp.zeros((G + 1, D), jnp.float32)
+        counts = np.zeros(G, np.int64)
+        for xd, keys, n in self._device_feed(loader):
+            seg = np.full(xd.shape[0], G, np.int32)
+            for i, k in enumerate(keys[:n]):
+                seg[i] = seg_of.get(str(k), G)
+            np.add.at(counts, seg[:n][seg[:n] < G], 1)
+            acc = self._seg_step(acc, self.state.variables,
+                                 jnp.asarray(seg), xd, point)
+        if (counts == 0).any():
+            rprint(
+                f"Warning: {int((counts == 0).sum())} of {G} groups matched "
+                "no stimuli in the loader output (zero rows)",
+                style="warning",
+            )
+        denom = jnp.asarray(np.maximum(counts, 1), jnp.float32)[:, None]
+        means = acc[:G] / denom
+        rprint(
+            f"  Re-extracted {layer_name}: {G} group means of dim {D} "
+            "(exact, no SRP, device-averaged)",
+            style="success",
+        )
+        return means, list(group_order)
 
     # ── exact single-layer re-extraction (no SRP) ────────────────
     def extract_single_layer(self, loader: Iterable, layer_name: str, stimulus_ids=None):

@@ -307,11 +307,12 @@ def main():
 
     # The BASELINE.json workloads beyond NSD (VERDICT r3 item 2), ONE
     # process with cumulative output — a timeout preserves completed
-    # sub-measurements via late harvest.
-    record("workloads", 900, 200, _forward_keys((
-        "things_e2e_s", "tvsd_e2e_s", "nsd_synthetic_e2e_s",
-        "cross_model_rdm_s", "things_error", "tvsd_error",
-        "nsd_synthetic_error", "cross_model_error")))
+    # sub-measurements via late harvest. Every key the stage emits is
+    # namespaced by workload (things_/tvsd_/nsd_synthetic_/cross_model_),
+    # so forward them all — phase splits included.
+    record("workloads", 900, 200,
+           lambda r: b.extras.update({k: v for k, v in r.items()
+                                      if k != "stage" and k != "cumulative"}))
     # Kernel/throughput micro-benchmarks, same combined contract.
     record("kernels", 600, 150, _forward_keys((
         "kendall_bootstraps_per_sec", "rsa_bootstraps_per_sec",

@@ -132,13 +132,24 @@ def run(models: List[str], stimuli_spec: str, out: str, srp_k: int = 4096,
     rprint(f"  {len(stimuli)} stimuli, {len(models)} models", style="info")
 
     all_rdms: Dict[str, Dict[str, np.ndarray]] = {}
+    errors: Dict[str, str] = {}
     for name in models:
-        state, nodes = resolve_model(name, pretrained, image_size, tiny_towers)
-        transform = get_transform("imgnet", image_size=image_size,
-                                  normalize=False)
-        loader = make_stimuli_loader(stimuli, transform, batch_size, 4)
-        all_rdms[name] = model_layer_rdms(state, nodes, loader, srp_k,
-                                          batch_size, image_size)
+        # One model failing (e.g. a remote-compile-helper crash on a
+        # 24-block tower program) must not lose the other models'
+        # matrices — record the error and keep going.
+        try:
+            state, nodes = resolve_model(name, pretrained, image_size,
+                                         tiny_towers)
+            transform = get_transform("imgnet", image_size=image_size,
+                                      normalize=False)
+            loader = make_stimuli_loader(stimuli, transform, batch_size, 4)
+            all_rdms[name] = model_layer_rdms(state, nodes, loader, srp_k,
+                                              batch_size, image_size)
+            del state
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            rprint(f"  [{name}] FAILED: {errors[name]}", style="warning")
+            continue
         rprint(f"  [{name}] {len(all_rdms[name])} layer RDMs", style="success")
 
     payload: dict = {}
@@ -164,6 +175,9 @@ def run(models: List[str], stimuli_spec: str, out: str, srp_k: int = 4096,
                 f"({method} {summary[-1][4]:.4f})", style="highlight")
     payload["summary"] = np.asarray(summary, dtype=object)
     payload["method"] = method
+    if errors:
+        payload["model_errors"] = np.asarray(
+            [f"{k}: {v}" for k, v in errors.items()], dtype=object)
     np.savez(out, **payload)
     rprint(f"  Saved {out}", style="success")
     return payload

@@ -549,7 +549,9 @@ def stage_things_e2e(batch_size=512, num_workers=16, n_bootstrap=1000,
     conn.close()
     return {"things_e2e_s": wall, "n_images": meta["n_images"],
             "n_concepts": meta["n_concepts"], "n_results": len(results),
-            "db_rows": n_rows}
+            "db_rows": n_rows,
+            **{f"phase_{k}": round(v, 1)
+               for k, v in evals.LAST_PHASE_TIMES.items()}}
 
 
 def stage_tvsd_e2e(batch_size=512, num_workers=16, n_bootstrap=1000,
@@ -684,9 +686,13 @@ def stage_cross_model(n_images=256, batch_size=64, srp_k=4096, models=None,
                   tiny_towers=tiny_towers)
     wall = time.perf_counter() - t0
     n_pairs = sum(1 for k in payload if k.startswith("corr__"))
-    return {"cross_model_rdm_s": wall, "n_models": len(models),
-            "n_images": n_images, "n_pair_matrices": n_pairs,
-            "pretrained_weights": pretrained}
+    n_ok = sum(1 for k in payload if k.startswith("layers__"))
+    res = {"cross_model_rdm_s": wall, "n_models": len(models),
+           "n_models_ok": n_ok, "n_images": n_images,
+           "n_pair_matrices": n_pairs, "pretrained_weights": pretrained}
+    if "model_errors" in payload:
+        res["model_errors"] = "; ".join(map(str, payload["model_errors"]))[:300]
+    return res
 
 
 def stage_workloads():
@@ -706,7 +712,11 @@ def stage_workloads():
     acc: dict = {}
     for name, fn in sub:
         try:
-            acc.update(fn())
+            # Namespace each sub-stage's extras: generic keys (n_results,
+            # db_rows, phase_*) collide across the four workloads and the
+            # later one would silently overwrite the earlier's numbers.
+            for k, v in fn().items():
+                acc[k if k.startswith(name) else f"{name}_{k}"] = v
         except Exception as e:  # keep measuring the rest
             acc[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
         print(json.dumps({"stage": "workloads", "cumulative": True, **acc}), flush=True)

@@ -257,6 +257,8 @@ def eval(cfg: Config, mesh=None):
     # the difference between fitting and OOM on a 16 GB chip.
     extractor.free_projection_cache()
     LAST_PHASE_TIMES["extraction_s"] = timer.mark("extraction")
+    for k, v in getattr(extractor, "last_extract_times", {}).items():
+        LAST_PHASE_TIMES[f"extraction_{k}"] = v
     rprint("  Activations extracted once for all subjects/regions", style="success")
 
     if analysis == "rsa":
@@ -270,12 +272,18 @@ def eval(cfg: Config, mesh=None):
 # ──────────────────── THINGS branch ──────────────────────
 def _eval_things(cfg, verbose, mesh=None):
     """Concept-level 20/80 train/test RSA. Reference: evals.py:94-155."""
+    from visreps_tpu.core.logging import Timer
+
+    timer = Timer()
+    LAST_PHASE_TIMES.clear()
     rprint(f"\n  {_build_header(cfg)}\n", style="info")
     state = load_model(cfg, verbose=verbose)
     extractor = configure_feature_extractor(cfg, state, verbose=verbose, mesh=mesh)
+    LAST_PHASE_TIMES["model_load_s"] = timer.mark("model_load")
 
     neural_data, dl = get_neural_loader(cfg)
     rprint("  THINGS data loaded", style="success")
+    LAST_PHASE_TIMES["data_load_s"] = timer.mark("data_load")
 
     # Same HBM-residency policy as the NSD/TVSD branch: keep the bf16
     # SRP store on device when it fits, so concept averaging (one
@@ -292,8 +300,10 @@ def _eval_things(cfg, verbose, mesh=None):
                  else "host")
     acts, ids = extractor.get_activations(dl, store=store)
     extractor.free_projection_cache()
+    LAST_PHASE_TIMES["extraction_s"] = timer.mark("extraction")
     all_concepts = prepare_concept_alignment(cfg, acts, neural_data, ids)
     del acts, neural_data
+    LAST_PHASE_TIMES["concept_avg_s"] = timer.mark("concept_avg")
 
     rng = np.random.RandomState(42)
     n_concepts = all_concepts.neural.shape[0]
@@ -339,6 +349,7 @@ def _eval_things(cfg, verbose, mesh=None):
     scores = compute_traintest_alignment(
         cfg, selection, evaluation, verbose=verbose, re_extract_fn=re_extract_fn, mesh=mesh
     )
+    LAST_PHASE_TIMES["scoring_s"] = timer.mark("scoring")
     if cfg.get("log_expdata"):
         save_results(scores, cfg)
     return scores

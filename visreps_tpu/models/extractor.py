@@ -282,6 +282,9 @@ class FeatureExtractor:
         compiles dominate the whole extraction) and compacts the padded
         store with ONE final gather.
         """
+        import time as _time
+
+        _t0 = _time.perf_counter()
         proj = self._proj_dict()
         dims = self.out_dims()
         chunks: dict[str, list] = {name: [] for name in dims}
@@ -361,6 +364,24 @@ class FeatureExtractor:
                 if compact is not None:
                     a = a[compact]
                 acts[name] = a
+        _t1 = _time.perf_counter()
+        if store == "device" and acts:
+            # Drain the device queue before returning: every upload /
+            # forward / concat above is async, and without this sync the
+            # entire extraction backlog would be billed to whichever
+            # downstream phase fetches first (measured: "phase-1" walls
+            # of 100-164 s that were really extraction work). The work
+            # must finish before selection reads the store anyway, so
+            # this costs nothing and keeps phase timers truthful.
+            jax.block_until_ready(list(acts.values()))
+        # enqueue = host loop wall (loader + uploads + dispatch round
+        # trips); drain = device backlog left when the host finished.
+        # enqueue >> drain → the host/relay link is the bottleneck;
+        # drain >> 0 → device compute or queue-bound.
+        self.last_extract_times = {
+            "enqueue_s": round(_t1 - _t0, 1),
+            "drain_s": round(_time.perf_counter() - _t1, 1),
+        }
         rprint(
             f"  SRP activations: {len(acts)} taps x {len(ids)} stimuli ({store})",
             style="success",

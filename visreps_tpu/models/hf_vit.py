@@ -322,7 +322,7 @@ def load_tower(name: str, pretrained: bool = True, image_size: int = 224):
     (zero-egress: pre-seed it); pretrained=False initializes the flax
     tower directly (no torch needed).
     """
-    from visreps_tpu.models.zoo import ModelState
+    from visreps_tpu.models.zoo import ModelState, _put_parallel, cached_init_params
 
     lname = name.lower()
     is_clip = "clip" in lname
@@ -340,11 +340,16 @@ def load_tower(name: str, pretrained: bool = True, image_size: int = 224):
             model = Dinov2Model.from_pretrained(hf_id, local_files_only=True).eval()
             module, params = tower_from_hf_dinov2(model)
             n_patches = (image_size // module.patch) ** 2
-            params["pos_embedding"] = jnp.asarray(interpolate_positions(
-                np.asarray(params["pos_embedding"]), n_patches))
+            params["pos_embedding"] = interpolate_positions(
+                np.asarray(params["pos_embedding"]), n_patches)
+        # Converted trees are host numpy; chunked parallel upload beats
+        # a serial per-leaf transfer ~3x through the relay (zoo).
+        params = _put_parallel(params)
     else:
         module = CLIPVisionTower() if is_clip else DINOv2Tower()
-        dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
-        params = module.init(jax.random.PRNGKey(0), dummy)["params"]
+        # Disk-cached init: the 24-block init forward is the largest
+        # program a cross-model run would otherwise compile on device.
+        params = cached_init_params(
+            module, f"tower_{'clip' if is_clip else 'dinov2'}", image_size)
     return ModelState(module=module, params=params, batch_stats=None,
                       input_size=image_size)

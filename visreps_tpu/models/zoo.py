@@ -138,6 +138,52 @@ def _put_parallel(host_vars, streams: int = 4, split_bytes: int = 32 << 20):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def cached_init_params(module, cache_tag: str, image_size: int, seed: int = 0):
+    """Disk-cached ``module.init`` for standalone flax modules (the
+    CLIP/DINOv2 towers). Same contract as init_model's cache: a hit
+    uploads the host pytree with parallel chunked transfers instead of
+    compiling the init forward on device — for a 24-block ViT-L the
+    init compile is the single largest program a cross-model run
+    submits to the remote-compile relay, and a relay compile-helper
+    crash there kills the whole stage. Disable with VISREPS_INIT_CACHE=0.
+    """
+    import hashlib
+    import json
+    import os
+    import pickle
+    from pathlib import Path
+
+    use_cache = os.environ.get("VISREPS_INIT_CACHE", "1") != "0"
+    key = json.dumps({"v": 1, "tag": cache_tag, "size": image_size,
+                      "seed": seed}, sort_keys=True)
+    h = hashlib.sha256(key.encode()).hexdigest()[:16]
+    root = Path(os.environ.get(
+        "VISREPS_INIT_CACHE_DIR", "~/.cache/visreps_init_params")).expanduser()
+    path = root / f"{cache_tag}_{image_size}px_s{seed}_{h}.pkl"
+    if use_cache and path.exists():
+        try:
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
+            if payload.get("key") == key:
+                rprint(f"  Init params from cache ({path.name})", style="info")
+                return _put_parallel(payload["params"])
+        except Exception:  # corrupt/stale cache → rebuild below
+            pass
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    params = module.init(jax.random.PRNGKey(seed), dummy)["params"]
+    if use_cache:
+        try:
+            path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix(".tmp")
+            with open(tmp, "wb") as f:
+                pickle.dump({"key": key, "params": jax.device_get(params)},
+                            f, protocol=pickle.HIGHEST_PROTOCOL)
+            os.replace(tmp, path)
+        except Exception:
+            pass
+    return params
+
+
 def init_model(model_name: str, num_classes: int, seed: int = 0, cfg=None,
                input_size: int | None = None, cache: bool = True) -> ModelState:
     """Initialize a fresh model (He/xavier init per family).

@@ -75,6 +75,27 @@ class TestLoaderIntegration:
         assert batch.shape == (4, 224, 224, 3)
         assert keys == sorted(stimuli.keys())
 
+    def test_uint8_transfer_native_path(self, jpegs):
+        """normalize=False (uint8_transfer) now decodes through the C++
+        path too: identity mean / std=1/255 → rint → uint8. Parity with
+        the PIL uint8 path is bounded by the same resample tolerance as
+        the normalized mode (~1-2 gray levels mean)."""
+        tfm = get_transform("imgnet", normalize=False)
+        stimuli = {f"s{i}": p for i, p in enumerate(jpegs)}
+        ds = StimuliDataset(stimuli, tfm)
+        res = ds.native_batch(range(len(jpegs)))
+        assert res is not None
+        batch, keys = res
+        assert batch.dtype == np.uint8
+        assert batch.shape == (4, 224, 224, 3)
+        assert keys == sorted(stimuli.keys())
+        for i in range(len(jpegs)):
+            ref = ds.transform(load_image(jpegs[i]))  # PIL uint8 path
+            assert ref.dtype == np.uint8
+            diff = np.abs(batch[i].astype(np.int16) - ref.astype(np.int16))
+            assert diff.mean() < 2.0
+            assert diff.max() <= 40
+
     def test_non_path_stimuli_fall_back(self, jpegs, rng):
         tfm = get_transform("imgnet")
         stimuli = {"a": (rng.rand(64, 64, 3) * 255).astype(np.uint8)}
@@ -83,6 +104,35 @@ class TestLoaderIntegration:
         loader = PrefetchLoader(ds, batch_size=1, shuffle=False, num_workers=1)
         (batch, keys), = list(loader)
         assert batch.shape == (1, 224, 224, 3)
+
+
+class TestDecodeCache:
+    """Two-pass evals (THINGS/TVSD bulk + exact re-extraction) decode
+    each JPEG once: StimuliDataset caches transformed outputs."""
+
+    @pytest.mark.parametrize("normalize", [True, False])
+    def test_second_pass_identical_and_cached(self, jpegs, normalize):
+        tfm = get_transform("imgnet", normalize=normalize)
+        stimuli = {f"s{i}": p for i, p in enumerate(jpegs)}
+        ds = StimuliDataset(stimuli, tfm)
+        assert ds._cache is not None
+        loader = PrefetchLoader(ds, batch_size=2, shuffle=False, num_workers=2)
+        p1 = [(b.copy(), k) for b, k in loader]
+        assert len(ds._cache) == len(jpegs)
+        p2 = [(b.copy(), k) for b, k in loader]
+        for (b1, k1), (b2, k2) in zip(p1, p2):
+            assert k1 == k2
+            np.testing.assert_array_equal(b1, b2)
+
+    def test_cap_disables(self, jpegs, monkeypatch):
+        monkeypatch.setenv("VISREPS_DECODE_CACHE_MAX", "10")
+        ds = StimuliDataset({"a": jpegs[0]}, get_transform("imgnet"))
+        assert ds._cache is None
+
+    def test_augment_disables(self, jpegs):
+        ds = StimuliDataset({"a": jpegs[0]},
+                            get_transform("imgnet", data_augment=True))
+        assert ds._cache is None
 
 
 class TestPngDecode:

@@ -101,9 +101,26 @@ class StimuliDataset:
     """
 
     def __init__(self, stimuli, transform):
+        import os
+
         self.keys = sorted(stimuli.keys())
         self.stimuli = stimuli  # may be a lazy dict (HDF5)
         self.transform = transform
+        # Transformed-output cache: evals that pass over the same
+        # stimuli twice (THINGS/TVSD bulk SRP extraction + exact
+        # re-extraction, reference evals.py:140-144) pay the JPEG
+        # decode — the host bottleneck on this 1-CPU box — twice for
+        # identical pixels. Cache the transformed arrays when the whole
+        # set fits under VISREPS_DECODE_CACHE_MAX bytes (default 8 GB;
+        # 0 disables). Deterministic transforms only.
+        self._cache: dict | None = None
+        spec = getattr(transform, "spec", None)
+        if spec is not None and not spec["augment"]:
+            bpp = 4 if spec.get("normalize", True) else 1
+            est = len(self.keys) * spec["crop"] * spec["crop"] * 3 * bpp
+            cap = float(os.environ.get("VISREPS_DECODE_CACHE_MAX", 8e9))
+            if 0 < est < cap:
+                self._cache = {}
 
     def __len__(self):
         return len(self.keys)
@@ -111,6 +128,8 @@ class StimuliDataset:
     def __getitem__(self, idx):
         from visreps_tpu.data.transforms import load_image
 
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx], self.keys[idx]
         key = self.keys[idx]
         val = self.stimuli[key]
         if getattr(self.transform, "accepts_raw", False):
@@ -118,14 +137,31 @@ class StimuliDataset:
             # fast path for identity-resize uint8 arrays (HDF5 bricks).
             if not isinstance(val, (str, np.ndarray)):
                 val = np.asarray(val) if not hasattr(val, "convert") else val
-            return self.transform(val), key
-        return self.transform(load_image(val)), key
+            out = self.transform(val)
+        else:
+            out = self.transform(load_image(val))
+        if self._cache is not None:
+            self._cache[idx] = out
+        return out, key
 
     def native_batch(self, idxs, n_threads: int = 16):
-        """C++ decode when every requested stimulus is a JPEG/PNG path."""
+        """C++ decode when every requested stimulus is a JPEG/PNG path.
+
+        Covers both transform modes: normalized float32, and the
+        uint8_transfer path (normalize=False) — there the decoder runs
+        with identity mean / std=1/255 so its output IS the resampled
+        0..255 image, rounded to uint8. Without this, uint8 pipelines
+        silently fell back to per-item threaded PIL (~2x slower on this
+        1-CPU host) while float pipelines used the C++ decoder — the
+        two modes decoded through different code paths.
+        """
         spec = getattr(self.transform, "spec", None)
-        if spec is None or spec["augment"] or not spec.get("normalize", True):
+        if spec is None or spec["augment"]:
             return None
+        idxs = list(idxs)
+        if self._cache is not None and all(i in self._cache for i in idxs):
+            return (np.stack([self._cache[i] for i in idxs]),
+                    [self.keys[i] for i in idxs])
         keys, paths = [], []
         for i in idxs:
             key = self.keys[i]
@@ -140,10 +176,22 @@ class StimuliDataset:
             return None
         if not native_available():
             return None
-        batch = decode_batch(
-            paths, spec["resize"], spec["crop"], spec["mean"], spec["std"],
-            n_threads=n_threads,
-        )
+        if spec.get("normalize", True):
+            batch = decode_batch(
+                paths, spec["resize"], spec["crop"], spec["mean"], spec["std"],
+                n_threads=n_threads,
+            )
+        else:
+            raw = decode_batch(
+                paths, spec["resize"], spec["crop"], (0.0, 0.0, 0.0),
+                (1.0 / 255.0,) * 3, n_threads=n_threads,
+            )
+            np.rint(raw, out=raw)
+            np.clip(raw, 0.0, 255.0, out=raw)
+            batch = raw.astype(np.uint8)
+        if self._cache is not None:
+            for j, i in enumerate(idxs):
+                self._cache[i] = batch[j]
         return batch, keys
 
 

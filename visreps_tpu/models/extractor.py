@@ -240,18 +240,38 @@ class FeatureExtractor:
             depth = int(os.environ.get("VISREPS_FEED_DEPTH", "4"))
         if threads is None:
             threads = int(os.environ.get("VISREPS_FEED_THREADS", "3"))
+        import time as _time
+
+        # Decomposition of the host feed wall (read by get_activations
+        # into last_extract_times): loader_s = blocked on host decode /
+        # batch assembly; upload_wait_s = blocked on device_put futures.
+        stats = self._feed_stats = {"loader_s": 0.0, "upload_wait_s": 0.0}
         ex = ThreadPoolExecutor(max_workers=threads)
         pending: deque = deque()
+
+        def _result(fut):
+            t = _time.perf_counter()
+            res = fut.result()
+            stats["upload_wait_s"] += _time.perf_counter() - t
+            return res
+
         try:
-            for x, keys in loader:
+            it = iter(loader)
+            while True:
+                t = _time.perf_counter()
+                item = next(it, None)
+                stats["loader_s"] += _time.perf_counter() - t
+                if item is None:
+                    break
+                x, keys = item
                 xp, n = self._pad(np.asarray(x), pad_to)
                 pending.append((ex.submit(self._to_device, xp), keys, n))
                 if len(pending) >= depth:
                     fut, k, nv = pending.popleft()
-                    yield fut.result(), k, nv
+                    yield _result(fut), k, nv
             while pending:
                 fut, k, nv = pending.popleft()
-                yield fut.result(), k, nv
+                yield _result(fut), k, nv
         finally:
             ex.shutdown(wait=True)
 
@@ -308,6 +328,16 @@ class FeatureExtractor:
                 for name, arr in host.items():
                     chunks[name].append(arr if keep is None else arr[keep])
 
+        dispatch_s = 0.0
+
+        def _step(xd):
+            nonlocal dispatch_s
+            t = _time.perf_counter()
+            res = self._srp_step(self.state.variables, proj, xd,
+                                 out_bf16=out_bf16)
+            dispatch_s += _time.perf_counter() - t
+            return res
+
         for xd, keys, n in self._device_feed(loader):
             if retain_ids is None:
                 ids.extend(keys)
@@ -317,8 +347,7 @@ class FeatureExtractor:
                 if not kept:
                     # Still dispatch the forward: the workload is every
                     # stimulus through every tap, retained or not.
-                    res = self._srp_step(self.state.variables, proj, xd,
-                                         out_bf16=out_bf16)
+                    res = _step(xd)
                     del res
                     continue
                 ids.extend(keys[i] for i in kept)
@@ -333,8 +362,7 @@ class FeatureExtractor:
                     keep = kp
                 else:
                     keep = np.asarray(kept, np.int32)  # host gather: free
-            cur = (self._srp_step(self.state.variables, proj, xd,
-                                  out_bf16=out_bf16), keep)
+            cur = (_step(xd), keep)
             if pending is not None:
                 drain(pending)
             pending = cur
@@ -381,6 +409,9 @@ class FeatureExtractor:
         self.last_extract_times = {
             "enqueue_s": round(_t1 - _t0, 1),
             "drain_s": round(_time.perf_counter() - _t1, 1),
+            "loader_s": round(self._feed_stats["loader_s"], 1),
+            "upload_wait_s": round(self._feed_stats["upload_wait_s"], 1),
+            "dispatch_s": round(dispatch_s, 1),
         }
         rprint(
             f"  SRP activations: {len(acts)} taps x {len(ids)} stimuli ({store})",

@@ -149,8 +149,18 @@ def eval(cfg: Config, mesh=None):
     spread over chips (disable with use_mesh=false).
     """
     verbose = cfg.get("verbose", False)
+    import time as _time
+
+    _t_init = _time.perf_counter()
     if mesh is None:
         mesh = default_mesh(cfg)
+    # First device contact initializes the backend (on relay-attached
+    # terminals: tunnel handshake + device attach, tens of seconds after
+    # an idle window) — surface it or it shows up as an unattributable
+    # gap between the e2e wall and the phase sum (measured 71 s).
+    _backend_init_s = _time.perf_counter() - _t_init
+    LAST_PHASE_TIMES.clear()
+    LAST_PHASE_TIMES["backend_init_s"] = round(_backend_init_s, 1)
 
     if cfg.load_model_from == "checkpoint":
         cfg = _load_cfg(cfg)
@@ -190,7 +200,6 @@ def eval(cfg: Config, mesh=None):
     from visreps_tpu.core.logging import Timer
 
     timer = Timer()
-    LAST_PHASE_TIMES.clear()
 
     state = load_model(cfg, verbose=verbose)
     extractor = configure_feature_extractor(cfg, state, verbose=verbose, mesh=mesh)
@@ -275,7 +284,6 @@ def _eval_things(cfg, verbose, mesh=None):
     from visreps_tpu.core.logging import Timer
 
     timer = Timer()
-    LAST_PHASE_TIMES.clear()
     rprint(f"\n  {_build_header(cfg)}\n", style="info")
     state = load_model(cfg, verbose=verbose)
     extractor = configure_feature_extractor(cfg, state, verbose=verbose, mesh=mesh)

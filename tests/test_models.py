@@ -188,6 +188,57 @@ class TestMultiLayerExact:
                                    host["fc1_post"], rtol=1e-6)
 
 
+class TestDeviceStorePaths:
+    """get_activations device-store variants: the in-place preallocated
+    store (one donated dynamic_update_slice program per batch) and the
+    superbatched feed must match the chunked-concat path bit-for-bit on
+    the valid rows; padded tail rows are never referenced (every
+    consumer gathers rows via the ids map)."""
+
+    @pytest.fixture()
+    def setup(self):
+        import numpy as np
+
+        from visreps_tpu.models.extractor import FeatureExtractor
+        from visreps_tpu.models.zoo import init_model
+
+        rng = np.random.RandomState(0)
+        state = init_model("TinyCustomCNN", 8, seed=0)
+        ex = FeatureExtractor(state, return_nodes=["conv1", "fc1"],
+                              extract_pre_and_post=True, srp_k=16,
+                              batch_size=8, image_size=64)
+        batches = [(rng.randint(0, 256, (8, 64, 64, 3), np.uint8),
+                    [f"s{i}_{j}" for j in range(8)]) for i in range(4)]
+        batches.append((rng.randint(0, 256, (3, 64, 64, 3), np.uint8),
+                        [f"s4_{j}" for j in range(3)]))
+
+        class Loader:
+            dataset = [None] * 35
+
+            def __iter__(self):
+                return iter(batches)
+
+        return ex, Loader()
+
+    @pytest.mark.parametrize("superbatch", ["1", "2"])
+    def test_store_matches_chunks(self, setup, monkeypatch, superbatch):
+        import numpy as np
+
+        ex, loader = setup
+        monkeypatch.setenv("VISREPS_STORE_UPDATE", "0")
+        chunks, ids_c = ex.get_activations(loader, store="device")
+        monkeypatch.setenv("VISREPS_STORE_UPDATE", "1")
+        monkeypatch.setenv("VISREPS_SUPERBATCH", superbatch)
+        stored, ids_s = ex.get_activations(loader, store="device")
+        assert ids_c == ids_s and len(ids_s) == 35
+        for k in chunks:
+            assert chunks[k].shape[0] == 35
+            assert stored[k].shape[0] % (8 * int(superbatch)) == 0
+            np.testing.assert_allclose(
+                np.asarray(chunks[k], np.float32),
+                np.asarray(stored[k][:35], np.float32), rtol=2e-5, atol=2e-5)
+
+
 class TestStandaloneExtractorVariants:
     """analysis/extract_representations: SRP / exact / spatial-pool
     variants (reference extract_representations.py:52-157)."""

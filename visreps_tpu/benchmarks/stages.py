@@ -834,6 +834,158 @@ def stage_h2d_streams(batch_size=256, iters=24,
             "h2d_MB_per_s": out[best]}
 
 
+def stage_feed_probe(batch_size=512, n_batches=40):
+    """Upload-only wall of the e2e's exact feed path (no dispatches).
+
+    Streams n_batches × batch_size uint8 224×224×3 batches through
+    FeatureExtractor._device_feed (same thread pool / depth / padding
+    as extraction) and blocks on the last upload. Against the measured
+    extraction wall this separates pure H2D from the dispatch-
+    interference cost: extraction at 73k moved 11 GB in 296-371 s
+    (30-40 MB/s effective) while the 3-stream put sweep sustains
+    ~72 MB/s — this probe tells whether the gap is the feed path
+    itself or the interleaved _srp_step dispatches.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from visreps_tpu.models.extractor import FeatureExtractor
+    from visreps_tpu.models.zoo import init_model
+
+    state = init_model("TinyCustomCNN", 10, seed=0, input_size=64)
+    ex = FeatureExtractor(state, ["conv1"], extract_pre_and_post=False,
+                          srp_k=64, batch_size=batch_size, image_size=224)
+
+    rng = np.random.RandomState(0)
+    batches = [rng.randint(0, 256, (batch_size, 224, 224, 3), np.uint8)
+               for _ in range(4)]
+
+    def loader():
+        for i in range(n_batches):
+            yield batches[i % 4], [f"s{i}_{j}" for j in range(batch_size)]
+
+    handles = []
+    t0 = time.perf_counter()
+    for xd, keys, n in ex._device_feed(loader()):
+        handles.append(xd)
+    jax.block_until_ready(handles)
+    wall = time.perf_counter() - t0
+    gb = n_batches * batch_size * 224 * 224 * 3 / 1e9
+    del handles
+    # Same bytes with one dispatch interleaved per batch (the e2e's
+    # actual extraction structure) — the delta vs the pure feed is the
+    # dispatch-interference cost.
+    sums = []
+    t0 = time.perf_counter()
+    for xd, keys, n in ex._device_feed(loader()):
+        sums.append(jnp.sum(xd, dtype=jnp.int32))
+    jax.block_until_ready(sums)
+    interleaved_s = time.perf_counter() - t0
+    return {"feed_probe_s": round(wall, 1), "feed_gb": round(gb, 2),
+            "feed_MB_per_s": round(gb * 1000 / wall, 1),
+            "feed_interleaved_s": round(interleaved_s, 1),
+            "loader_s": round(ex._feed_stats["loader_s"], 1),
+            "upload_wait_s": round(ex._feed_stats["upload_wait_s"], 1)}
+
+
+def stage_extract_probe(batch_size=512, n_batches=40, superbatch=1,
+                        out_bf16=True):
+    """The e2e extraction loop in miniature: synthetic uint8 batches
+    through the REAL AlexNet get_activations (store=device), reporting
+    the enqueue/drain/loader/upload/dispatch decomposition. Sweeping
+    n_batches separates per-batch cost from store-size effects (HBM
+    pressure at the 73k-scale 8.4 GB store); superbatch exercises the
+    K-stacked dispatch path."""
+    import os
+
+    from visreps_tpu.models.extractor import FeatureExtractor
+    from visreps_tpu.models.zoo import init_model
+
+    state = init_model("AlexNet", 1000, seed=0)
+    ex = FeatureExtractor(
+        state, ["conv1", "conv2", "conv3", "conv4", "conv5", "fc1", "fc2"],
+        extract_pre_and_post=True, srp_k=4096, batch_size=batch_size,
+        image_size=224)
+
+    rng = np.random.RandomState(0)
+    batches = [rng.randint(0, 256, (batch_size, 224, 224, 3), np.uint8)
+               for _ in range(4)]
+
+    def loader():
+        for i in range(n_batches):
+            yield batches[i % 4], [f"s{i}_{j}" for j in range(batch_size)]
+
+    prev = os.environ.get("VISREPS_SUPERBATCH")
+    os.environ["VISREPS_SUPERBATCH"] = str(superbatch)
+    try:
+        t0 = time.perf_counter()
+        acts, ids = ex.get_activations(loader(), store="device")
+        wall = time.perf_counter() - t0
+    finally:
+        if prev is None:
+            os.environ.pop("VISREPS_SUPERBATCH", None)
+        else:
+            os.environ["VISREPS_SUPERBATCH"] = prev
+    n_img = len(ids)
+    del acts
+    return {"extract_probe_s": round(wall, 1), "n_images": n_img,
+            "superbatch": superbatch,
+            "images_per_sec": round(n_img / wall, 1),
+            **ex.last_extract_times}
+
+
+def stage_step_probe(batch_size=512, out_bf16=1):
+    """Per-call cost of the real _srp_step, isolated.
+
+    Times: the compile call, 6 serialized warm calls (dispatch +
+    block), and 6 async dispatches (host-side call wall only) against
+    DISTINCT pre-uploaded uint8 batches. Pins down why the extraction
+    loop measured ~2.4 s per call while the kernels stage measures the
+    same function at ~62 ms/batch."""
+    import jax
+
+    from visreps_tpu.models.extractor import FeatureExtractor
+    from visreps_tpu.models.zoo import init_model
+
+    state = init_model("AlexNet", 1000, seed=0)
+    ex = FeatureExtractor(
+        state, ["conv1", "conv2", "conv3", "conv4", "conv5", "fc1", "fc2"],
+        extract_pre_and_post=True, srp_k=4096, batch_size=batch_size,
+        image_size=224)
+    proj = ex._proj_dict()
+    rng = np.random.RandomState(0)
+    xs = [jax.device_put(rng.randint(0, 256, (batch_size, 224, 224, 3),
+                                     np.uint8)) for _ in range(7)]
+    jax.block_until_ready(xs)
+    ob = bool(out_bf16)
+
+    t0 = time.perf_counter()
+    r = ex._srp_step(state.variables, proj, xs[0], out_bf16=ob)
+    jax.block_until_ready(list(r.values()))
+    compile_s = time.perf_counter() - t0
+
+    warm = []
+    for i in range(1, 7):
+        t0 = time.perf_counter()
+        r = ex._srp_step(state.variables, proj, xs[i], out_bf16=ob)
+        jax.block_until_ready(list(r.values()))
+        warm.append(round(time.perf_counter() - t0, 3))
+
+    disp = []
+    outs = []
+    for i in range(1, 7):
+        t0 = time.perf_counter()
+        outs.append(ex._srp_step(state.variables, proj, xs[i], out_bf16=ob))
+        disp.append(round(time.perf_counter() - t0, 3))
+    t0 = time.perf_counter()
+    jax.block_until_ready([list(o.values()) for o in outs])
+    tail_s = time.perf_counter() - t0
+
+    return {"compile_call_s": round(compile_s, 2), "warm_serialized_s": warm,
+            "async_dispatch_s": disp, "async_tail_s": round(tail_s, 2),
+            "out_bf16": ob}
+
+
 def stage_phase1_probe(n=73000, k=4096, n_taps=14, n_sel=1000, n_regions=6,
                        n_subjects=8, n_voxels=512):
     """Decompose the e2e's phase-1 cost at workload scale.
@@ -939,6 +1091,8 @@ def stage_train(batch_size=256, iters=8):
 STAGES = {
     "train": stage_train,
     "extract": stage_extract,
+    "extract_probe": stage_extract_probe,
+    "step_probe": stage_step_probe,
     "extract_bf16": lambda: stage_extract(compute_dtype="bf16"),
     "forward": stage_forward,
     "rdm": stage_rdm,
@@ -948,6 +1102,7 @@ STAGES = {
     "selection": stage_selection,
     "selection_device": stage_selection_device,
     "phase1_probe": stage_phase1_probe,
+    "feed_probe": stage_feed_probe,
     "ridge": stage_ridge,
     # Default "high": the CV sweep's per-alpha matmuls only rank
     # alphas; measured scores match "highest" to 4 decimals on chip
@@ -973,8 +1128,18 @@ STAGES = {
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("stage", choices=list(STAGES))
+    parser.add_argument("kwargs", nargs="*",
+                        help="stage overrides as k=v (ints parsed)")
     args = parser.parse_args(argv)
-    result = STAGES[args.stage]()
+    kw = {}
+    for pair in args.kwargs:
+        k, v = pair.split("=", 1)
+        try:
+            v = int(v)
+        except ValueError:
+            pass
+        kw[k] = v
+    result = STAGES[args.stage](**kw)
     print(json.dumps({"stage": args.stage, **result}))
 
 

@@ -123,8 +123,7 @@ class FeatureExtractor:
         norm_mean = jnp.asarray(DS_MEAN["imgnet"])
         norm_std = jnp.asarray(DS_STD["imgnet"])
 
-        @partial(jax.jit, static_argnames=("out_bf16",))
-        def _srp_step(variables, proj, x, out_bf16=False):
+        def _srp_body(variables, proj, x, out_bf16=False):
             if x.dtype == jnp.uint8:
                 # uint8 transfer path: 4x less host→device bandwidth;
                 # normalization folds into the first device op.
@@ -150,7 +149,46 @@ class FeatureExtractor:
                 out[alias[p]] = o.astype(jnp.bfloat16) if out_bf16 else o
             return out
 
-        self._srp_step = _srp_step
+        self._srp_step = partial(jax.jit, static_argnames=("out_bf16",))(_srp_body)
+
+        @partial(jax.jit, static_argnames=("out_bf16",))
+        def _srp_step_super(variables, proj, xs, out_bf16=False):
+            # K stacked batches per dispatch: lax.map keeps the live tap
+            # intermediates at single-batch size while cutting the
+            # dispatch round-trips (and H2D transfers) K-fold — through
+            # a remote-dispatch relay those round-trips serialize
+            # against the image uploads and dominate extraction
+            # (measured 296-371 s at 73k where pure 3-stream H2D of the
+            # same bytes is ~153 s).
+            outs = jax.lax.map(
+                lambda x: _srp_body(variables, proj, x, out_bf16), xs)
+            return {name: o.reshape(-1, o.shape[-1]) for name, o in outs.items()}
+
+        self._srp_step_super = _srp_step_super
+
+        @partial(jax.jit, static_argnames=("out_bf16",), donate_argnums=(3,))
+        def _srp_step_store(variables, proj, x, store, offset, out_bf16=False):
+            # Forward + SRP + write-in-place into the preallocated
+            # (N_pad, k) per-tap store at row `offset` (traced scalar —
+            # no per-offset recompiles; donation makes the update
+            # zero-copy). Replaces the old accumulate-chunks-then-
+            # jnp.concatenate tail: at 73k scale that built ~2,000
+            # 4 MB buffers and compiled a separate 143-input concat
+            # program — on a remote-compile relay every extra program
+            # is another multi-second (sometimes multi-minute) load.
+            if x.ndim == 5:  # superbatched (K, B, H, W, C)
+                out = jax.lax.map(
+                    lambda xi: _srp_body(variables, proj, xi, out_bf16), x)
+                out = {n: o.reshape(-1, o.shape[-1]) for n, o in out.items()}
+            else:
+                out = _srp_body(variables, proj, x, out_bf16)
+            new = {}
+            for name, arr in out.items():
+                new[name] = jax.lax.dynamic_update_slice(
+                    store[name], arr.astype(store[name].dtype), (offset, 0))
+            return new
+
+        self._srp_step_store = _srp_step_store
 
         def _single_step(variables, x, point):
             if x.dtype == jnp.uint8:
@@ -220,8 +258,18 @@ class FeatureExtractor:
         return jnp.asarray(x)
 
     def _device_feed(self, loader: Iterable, depth: int | None = None,
-                     threads: int | None = None, pad_to: int | None = None):
+                     threads: int | None = None, pad_to: int | None = None,
+                     superbatch: int = 1):
         """Yield (device_batch, keys, n_valid) with uploads pipelined.
+
+        superbatch=K stacks K consecutive padded batches into ONE
+        (K, B, ...) host array per upload — K× fewer transfers and K×
+        fewer downstream dispatches (the caller runs one lax.map
+        program per stack). Yields (stacked_device, flat_keys, keep)
+        where keep is None (every row valid) or an int32 row-index
+        array (final, zero-padded stack). The final stack is padded to
+        K sub-batches rather than compiled at a second leading dim —
+        one wasted zero-batch beats another relay compile.
 
         On remote-attached TPUs a single in-flight host→device copy is
         latency-bound; concurrent transfers raise effective bandwidth
@@ -255,6 +303,28 @@ class FeatureExtractor:
             stats["upload_wait_s"] += _time.perf_counter() - t
             return res
 
+        group_x: list = []
+        group_keys: list = []
+        group_ns: list = []
+
+        def _flush_group():
+            k_sub = len(group_x)
+            b = group_x[0].shape[0]
+            while len(group_x) < superbatch:  # zero-pad the final stack
+                group_x.append(np.zeros_like(group_x[0]))
+            stacked = np.stack(group_x)
+            group_x.clear()
+            keep = None
+            if k_sub < superbatch or any(n < b for n in group_ns):
+                rows = []
+                for i, n in enumerate(group_ns):
+                    rows.extend(range(i * b, i * b + n))
+                keep = np.asarray(rows, np.int32)
+            keys_flat = list(group_keys)
+            group_keys.clear()
+            group_ns.clear()
+            return stacked, keys_flat, keep
+
         try:
             it = iter(loader)
             while True:
@@ -265,10 +335,24 @@ class FeatureExtractor:
                     break
                 x, keys = item
                 xp, n = self._pad(np.asarray(x), pad_to)
-                pending.append((ex.submit(self._to_device, xp), keys, n))
+                if superbatch > 1:
+                    group_x.append(xp)
+                    group_keys.extend(keys[:n])
+                    group_ns.append(n)
+                    if len(group_x) < superbatch:
+                        continue
+                    stacked, keys_flat, keep = _flush_group()
+                    pending.append(
+                        (ex.submit(self._to_device, stacked), keys_flat, keep))
+                else:
+                    pending.append((ex.submit(self._to_device, xp), keys, n))
                 if len(pending) >= depth:
                     fut, k, nv = pending.popleft()
                     yield _result(fut), k, nv
+            if group_x:
+                stacked, keys_flat, keep = _flush_group()
+                pending.append(
+                    (ex.submit(self._to_device, stacked), keys_flat, keep))
             while pending:
                 fut, k, nv = pending.popleft()
                 yield _result(fut), k, nv
@@ -302,6 +386,7 @@ class FeatureExtractor:
         compiles dominate the whole extraction) and compacts the padded
         store with ONE final gather.
         """
+        import os
         import time as _time
 
         _t0 = _time.perf_counter()
@@ -333,13 +418,86 @@ class FeatureExtractor:
         def _step(xd):
             nonlocal dispatch_s
             t = _time.perf_counter()
-            res = self._srp_step(self.state.variables, proj, xd,
-                                 out_bf16=out_bf16)
+            fn = self._srp_step_super if xd.ndim == 5 else self._srp_step
+            res = fn(self.state.variables, proj, xd, out_bf16=out_bf16)
             dispatch_s += _time.perf_counter() - t
             return res
 
-        for xd, keys, n in self._device_feed(loader):
-            if retain_ids is None:
+        # Superbatching (K uploads + K dispatches → 1 + 1) only applies
+        # off the retention path: retention computes per-batch kept-row
+        # indices that assume single-batch granularity. Multi-host mesh
+        # feeds also stay at K=1 (put_global_batch shards per batch).
+        k_super = 1
+        if retain_ids is None and self._batch_sharding is None:
+            k_super = max(1, int(os.environ.get("VISREPS_SUPERBATCH", "1")))
+
+        # Device-store fast path: preallocate the full (N_pad, k) bf16
+        # store per tap and have ONE program (forward + SRP + donated
+        # dynamic_update_slice) write each batch in place. No per-batch
+        # chunk buffers, no final 143-input concatenate program — both
+        # mattered through the remote-compile relay (the concat tail
+        # alone showed up as 60-220 s of "drain"). Padded tail rows are
+        # never referenced: every consumer gathers rows via the ids map.
+        n_total = total
+        if n_total is None:
+            ds = getattr(loader, "dataset", None)
+            try:
+                n_total = len(ds) if ds is not None else len(loader) * self.batch_size
+            except TypeError:
+                n_total = None
+        if (store == "device" and retain_ids is None and n_total
+                and os.environ.get("VISREPS_STORE_UPDATE", "1") != "0"):
+            group = k_super * self.batch_size
+            n_pad = -(-n_total // group) * group
+            acts = {name: jnp.zeros((n_pad, d), jnp.bfloat16)
+                    for name, d in dims.items()}
+            offset = 0
+            short_seen = False
+            for xd, keys, n in self._device_feed(loader, superbatch=k_super):
+                rows = group if k_super > 1 else self.batch_size
+                if offset + rows > n_pad:
+                    raise RuntimeError(
+                        f"loader yielded more than the estimated {n_total} "
+                        f"stimuli (store preallocated at {n_pad} rows)")
+                valid = keys if k_super > 1 else keys[:n]
+                if short_seen:
+                    # Row i of the store must be ids[i]: only trailing
+                    # padding keeps that true, so a short batch is only
+                    # legal as the final one.
+                    raise RuntimeError(
+                        "short batch before the final one breaks store "
+                        "row alignment")
+                if len(valid) < rows:
+                    short_seen = True
+                ids.extend(valid)
+                t = _time.perf_counter()
+                acts = self._srp_step_store(
+                    self.state.variables, proj, xd, acts, offset,
+                    out_bf16=True)
+                dispatch_s += _time.perf_counter() - t
+                offset += rows
+            del proj
+            _t1 = _time.perf_counter()
+            jax.block_until_ready(list(acts.values()))
+            self.last_extract_times = {
+                "enqueue_s": round(_t1 - _t0, 1),
+                "drain_s": round(_time.perf_counter() - _t1, 1),
+                "loader_s": round(self._feed_stats["loader_s"], 1),
+                "upload_wait_s": round(self._feed_stats["upload_wait_s"], 1),
+                "dispatch_s": round(dispatch_s, 1),
+            }
+            rprint(
+                f"  SRP activations: {len(acts)} taps x {len(ids)} stimuli "
+                f"(device, in-place store)",
+                style="success",
+            )
+            return acts, ids
+
+        for xd, keys, n in self._device_feed(loader, superbatch=k_super):
+            if k_super > 1:
+                ids.extend(keys)
+                keep = n  # feed contract: None or int32 row-index array
+            elif retain_ids is None:
                 ids.extend(keys)
                 keep = None if n == self.batch_size else slice(None, n)
             else:

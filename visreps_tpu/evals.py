@@ -561,6 +561,46 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
     _t0 = _time.perf_counter()
     rprint("  Freed bulk SRP activations", style="success")
 
+    # The grouped scoring program's full signature is fixed the moment
+    # phase-1 picks the layers — AOT-compile it NOW in a background
+    # thread so its cold-compile wall (~75 s through the remote-compile
+    # relay) overlaps phase-2 re-extraction instead of serializing
+    # after it. Joined (with the phase-2 wall already paid) at scoring.
+    boot_indices = None
+    if bootstrap and shared_test_ids:
+        from visreps_tpu.ops.bootstrap import bootstrap_indices
+
+        boot_indices = bootstrap_indices(len(shared_test_ids), n_bootstrap, seed=42)
+    pair_list = [(r, s) for r in regions for s in subjects]
+    use_grouped = (bootstrap and method == "spearman"
+                   and boot_indices is not None
+                   and cfg.get("bootstrap_exact_ties", "auto") is not False
+                   and (mesh is None or mesh.shape.get("data", 1) == 1))
+    scoring_plan: list = [None]
+    plan_thread = None
+    if use_grouped:
+        import threading
+
+        n_layers_sel = len({per_region_layers[r][s] for r, s in pair_list})
+        widths = []
+        for r, s in pair_list:
+            first = next(iter(neural[r][s]["test"].values()))
+            widths.append(int(np.asarray(first, np.float32).reshape(-1).size))
+        n_test = len(shared_test_ids)
+        bi_shape = boot_indices.shape
+
+        def _precompile():
+            try:
+                from visreps_tpu.ops.bootstrap import grouped_scoring_plan
+
+                scoring_plan[0] = grouped_scoring_plan(
+                    n_layers_sel, widths, n_test, bi_shape[0], bi_shape[1])
+            except Exception:  # plan is an optimization, never a failure
+                scoring_plan[0] = None
+
+        plan_thread = threading.Thread(target=_precompile, daemon=True)
+        plan_thread.start()
+
     # ── Phase 2: exact re-extraction on shared test stimuli ────
     rprint("\n  Phase 2: Test evaluation", style="info")
     test_stimuli = {sid: stimuli[sid] for sid in shared_test_ids if sid in stimuli}
@@ -617,14 +657,6 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
     # but 48 serialized host syncs dominate on relay-attached hosts.
     # Bootstrap index sets are identical across pairs (same n, seed 42
     # per the protocol), so they are generated once.
-    boot_indices = None
-    if bootstrap and shared_test_ids:
-        from visreps_tpu.ops.bootstrap import bootstrap_indices
-
-        boot_indices = bootstrap_indices(len(shared_test_ids), n_bootstrap, seed=42)
-
-    pair_list = [(r, s) for r in regions for s in subjects]
-
     # The common case — Spearman bootstrap on one chip with the shared
     # protocol index sets — runs the WHOLE scoring phase in ONE device
     # program (ops/bootstrap.grouped_scoring): per-pair neural RDM
@@ -633,19 +665,19 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
     # pairs, per-layer rank passes shared across the pairs that
     # selected the same layer) — one dispatch + one fetch instead of
     # ~50 kernel round-trips through the relay, no (P, n, n) RDM
-    # stacks, and no tie detection.
+    # stacks, and no tie detection. (use_grouped/boot_indices computed
+    # before phase 2; the program itself may already be AOT-compiled by
+    # the background plan thread.)
     # An explicit bootstrap_exact_ties=false forces the per-pair
     # dense-rank path (the grouped kernel is always average-tie exact,
     # which would silently ignore that override).
-    use_grouped = (bootstrap and method == "spearman"
-                   and boot_indices is not None
-                   and cfg.get("bootstrap_exact_ties", "auto") is not False
-                   and (mesh is None or mesh.shape.get("data", 1) == 1))
     boot_by_pair = None
     neural_rdms = None
     if use_grouped:
         from visreps_tpu.ops.bootstrap import grouped_scoring
 
+        if plan_thread is not None:
+            plan_thread.join()
         neural_mats = {
             (r, s): _neural_tensor(neural[r][s]["test"], shared_test_ids)
             for r, s in pair_list
@@ -653,7 +685,7 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
         boot_by_pair, point_of_pair = grouped_scoring(
             model_rdms, neural_mats,
             {(r, s): per_region_layers[r][s] for r, s in pair_list},
-            boot_indices)
+            boot_indices, plan=scoring_plan[0])
         del neural_mats
     else:
         # Fallback (other methods, sharded bootstrap, forced dense

@@ -166,29 +166,26 @@ class FeatureExtractor:
 
         self._srp_step_super = _srp_step_super
 
-        @partial(jax.jit, static_argnames=("out_bf16",), donate_argnums=(3,))
-        def _srp_step_store(variables, proj, x, store, offset, out_bf16=False):
-            # Forward + SRP + write-in-place into the preallocated
-            # (N_pad, k) per-tap store at row `offset` (traced scalar —
-            # no per-offset recompiles; donation makes the update
-            # zero-copy). Replaces the old accumulate-chunks-then-
-            # jnp.concatenate tail: at 73k scale that built ~2,000
-            # 4 MB buffers and compiled a separate 143-input concat
-            # program — on a remote-compile relay every extra program
-            # is another multi-second (sometimes multi-minute) load.
-            if x.ndim == 5:  # superbatched (K, B, H, W, C)
-                out = jax.lax.map(
-                    lambda xi: _srp_body(variables, proj, xi, out_bf16), x)
-                out = {n: o.reshape(-1, o.shape[-1]) for n, o in out.items()}
-            else:
-                out = _srp_body(variables, proj, x, out_bf16)
-            new = {}
-            for name, arr in out.items():
-                new[name] = jax.lax.dynamic_update_slice(
-                    store[name], arr.astype(store[name].dtype), (offset, 0))
-            return new
+        @partial(jax.jit, donate_argnums=(0,))
+        def _store_write(store, outs, offset):
+            # Write one batch's tap outputs in place into the
+            # preallocated (N_pad, k) per-tap store at row `offset`
+            # (traced scalar — no per-offset recompiles; donation makes
+            # the update zero-copy). Kept as its OWN tiny program
+            # rather than fused into the forward: the fused variant's
+            # compile-time footprint (store + projections + every tap
+            # intermediate live at once) was 16.14 GB — a compile-time
+            # HBM OOM on a 15.75 GB chip — while split programs each
+            # stay small and the forward executable stays byte-stable
+            # (reuses its relay compile cache entry across runs).
+            return {
+                name: jax.lax.dynamic_update_slice(
+                    store[name], outs[name].astype(store[name].dtype),
+                    (offset, 0))
+                for name in store
+            }
 
-        self._srp_step_store = _srp_step_store
+        self._store_write = _store_write
 
         def _single_step(variables, x, point):
             if x.dtype == jnp.uint8:
@@ -470,10 +467,9 @@ class FeatureExtractor:
                 if len(valid) < rows:
                     short_seen = True
                 ids.extend(valid)
+                out = _step(xd)  # counts its own dispatch_s
                 t = _time.perf_counter()
-                acts = self._srp_step_store(
-                    self.state.variables, proj, xd, acts, offset,
-                    out_bf16=True)
+                acts = self._store_write(acts, out, offset)
                 dispatch_s += _time.perf_counter() - t
                 offset += rows
             del proj

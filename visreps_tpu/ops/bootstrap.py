@@ -338,12 +338,35 @@ _grouped_scoring = jax.jit(
     _grouped_scoring_body, static_argnames=("chunk", "n"))
 
 
+def grouped_scoring_plan(n_layers: int, voxel_widths, n: int,
+                         n_bootstrap: int, n_sub: int, chunk: int = 128):
+    """AOT-compile the grouped scoring program for a known signature.
+
+    Returns a jax Compiled object to pass as grouped_scoring(...,
+    plan=...). The full signature (layer count, per-pair voxel widths
+    in pair order, triangle size, bootstrap shape) is known the moment
+    phase-1 picks the best layers — compiling HERE, in a background
+    thread while phase-2 re-extraction streams, hides the program's
+    cold-compile wall (~75 s through a remote-compile relay) behind
+    work that must happen anyway.
+    """
+    import jax
+
+    S = jax.ShapeDtypeStruct
+    rdms = tuple(S((n, n), jnp.float32) for _ in range(n_layers))
+    mats = tuple(S((n, int(v)), jnp.float32) for v in voxel_widths)
+    pm = S((len(voxel_widths),), jnp.int32)
+    idx = S((n_bootstrap, n_sub), jnp.int32)
+    return _grouped_scoring.lower(rdms, mats, pm, idx, chunk, n).compile()
+
+
 def grouped_scoring(
     model_rdms: dict,
     pair_neural_mats: dict,
     pair_layer: dict,
     indices: np.ndarray,
     chunk: int = 128,
+    plan=None,
 ):
     """Whole scoring phase for every pair as ONE device program.
 
@@ -363,10 +386,17 @@ def grouped_scoring(
 
     pair_model = np.asarray(
         [layer_row[pair_layer[k]] for k in pair_keys], np.int32)
-    scores_dev, points_dev = _grouped_scoring(
+    args = (
         tuple(jnp.asarray(model_rdms[l], jnp.float32) for l in layers),
         tuple(jnp.asarray(pair_neural_mats[k], jnp.float32) for k in pair_keys),
-        pair_model, jnp.asarray(indices), chunk, n)
+        jnp.asarray(pair_model), jnp.asarray(indices))
+    if plan is not None:
+        try:
+            scores_dev, points_dev = plan(*args)
+        except Exception:  # signature drift → normal jit path
+            scores_dev, points_dev = _grouped_scoring(*args, chunk, n)
+    else:
+        scores_dev, points_dev = _grouped_scoring(*args, chunk, n)
     scores = np.asarray(scores_dev, dtype=np.float64)
     points = np.asarray(points_dev, dtype=np.float64)
     return ({k: scores[i] for i, k in enumerate(pair_keys)},

@@ -695,30 +695,88 @@ def stage_cross_model(n_images=256, batch_size=64, srp_k=4096, models=None,
     return res
 
 
-def stage_workloads():
-    """THINGS + TVSD + NSD-Synthetic + cross-model in ONE process.
+def _run_substage(cmd, name: str, cap_s: float) -> dict:
+    """Run one sub-stage in its own interpreter; return its parsed
+    last-JSON-line result, or an error/timeout marker dict.
 
-    Amortizes interpreter/jax/fixture startup across the four
-    BASELINE.json workloads and prints a CUMULATIVE JSON line after
-    each, so a timeout (stage abandoned, later late-harvested once the
-    orphan exits) still delivers every measurement that completed.
+    Isolation is load-bearing twice over: a sub-stage that hard-dies —
+    the relay client can exit WITHOUT a Python traceback when the
+    server drops it (observed on chip: two silent deaths at the same
+    extraction point) — must not take the remaining measurements with
+    it; and a timed-out sub-stage is ABANDONED, never killed (killing
+    a mid-compile client wedges the remote-compile relay for ~1 h).
     """
+    import subprocess
+    import sys
+    import tempfile
+
+    out = tempfile.NamedTemporaryFile("w+", suffix=f"_{name}.out", delete=False)
+    err = tempfile.NamedTemporaryFile("w+", suffix=f"_{name}.err", delete=False)
+    proc = subprocess.Popen(cmd, stdout=out, stderr=err, text=True,
+                            start_new_session=True)
+    deadline = time.monotonic() + cap_s
+    while proc.poll() is None and time.monotonic() < deadline:
+        time.sleep(1)
+    if proc.poll() is None:
+        # Abandoned, still running: it may finish into its temp file —
+        # report where, so a caller (or a human) can late-harvest.
+        return {f"{name}_timeout_s": cap_s, f"{name}_orphan_pid": proc.pid,
+                f"{name}_orphan_out": out.name}
+    out.flush(), err.flush()
+    result = None
+    with open(out.name) as f:
+        for line in reversed(f.read().strip().splitlines()):
+            try:
+                result = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+    if result is None:
+        with open(err.name) as f:
+            stderr = f.read()
+        for tmp in (out.name, err.name):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        return {f"{name}_error":
+                f"rc={proc.returncode}: {stderr.strip()[-160:] or 'no output'}"}
+    result.pop("stage", None)
+    for tmp in (out.name, err.name):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    return result
+
+
+def stage_workloads():
+    """THINGS + TVSD + NSD-Synthetic + cross-model, each ISOLATED in
+    its own subprocess, with a CUMULATIVE JSON line printed after each
+    — so a crash, silent relay-client death, or timeout in one
+    workload costs only that workload's number, and an outer timeout
+    (stage abandoned, later late-harvested once the orphan exits)
+    still delivers every measurement that completed.
+    """
+    import sys
+
+    scale = float(os.environ.get("VISREPS_WORKLOAD_SUBCAP_SCALE", "1"))
     sub = [
-        ("things", stage_things_e2e),
-        ("tvsd", stage_tvsd_e2e),
-        ("nsd_synthetic", stage_nsd_synthetic_e2e),
-        ("cross_model", stage_cross_model),
+        ("things", "things_e2e", 600),
+        ("tvsd", "tvsd_e2e", 600),
+        ("nsd_synthetic", "nsd_synthetic_e2e", 420),
+        ("cross_model", "cross_model", 600),
     ]
     acc: dict = {}
-    for name, fn in sub:
-        try:
-            # Namespace each sub-stage's extras: generic keys (n_results,
-            # db_rows, phase_*) collide across the four workloads and the
-            # later one would silently overwrite the earlier's numbers.
-            for k, v in fn().items():
-                acc[k if k.startswith(name) else f"{name}_{k}"] = v
-        except Exception as e:  # keep measuring the rest
-            acc[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+    for name, stage, cap in sub:
+        res = _run_substage(
+            [sys.executable, "-m", "visreps_tpu.benchmarks.stages", stage],
+            name, cap * scale)
+        # Namespace each sub-stage's extras: generic keys (n_results,
+        # db_rows, phase_*) collide across the four workloads and the
+        # later one would silently overwrite the earlier's numbers.
+        for k, v in res.items():
+            acc[k if k.startswith(name) else f"{name}_{k}"] = v
         print(json.dumps({"stage": "workloads", "cumulative": True, **acc}), flush=True)
     return acc
 

@@ -40,6 +40,31 @@ class TestDecodeParity:
         flipped = native.decode_batch(jpegs[:1], 256, 224, hflip=np.array([1], np.uint8))
         np.testing.assert_allclose(out[0], flipped[0, :, ::-1], atol=1e-6)
 
+    def test_u8_matches_float_route(self, jpegs):
+        """decode_batch_u8 ≡ the former uint8 route (float decode with
+        identity mean / std=1/255, then numpy rint/clip/astype) — the
+        C++ rounding replaced three host-side numpy passes, not the
+        math."""
+        raw = native.decode_batch(jpegs, 256, 224, mean=(0, 0, 0),
+                                  std=(1 / 255,) * 3)
+        ref = np.clip(np.rint(raw), 0, 255).astype(np.uint8)
+        out = native.decode_batch_u8(jpegs, 256, 224)
+        np.testing.assert_array_equal(out, ref)
+
+    def test_identity_resize_shortcut(self, tmp_path):
+        """Images already at the resize size skip the float resampler
+        (both output modes) — must stay bit-identical to the general
+        path's triangle filter, which is exact at scale 1."""
+        rng = np.random.RandomState(7)
+        img = (rng.rand(256, 256, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / "id.png")  # PNG: lossless, decode == img
+        Image.fromarray(img).save(p)
+        out8 = native.decode_batch_u8([p], 256, 224)
+        np.testing.assert_array_equal(out8[0], img[16:240, 16:240])
+        outf = native.decode_batch([p], 256, 224, mean=(0, 0, 0), std=(1, 1, 1))
+        np.testing.assert_allclose(
+            outf[0], img[16:240, 16:240].astype(np.float32) / 255.0, atol=1e-7)
+
     def test_bad_path_zero_filled(self, jpegs):
         out = native.decode_batch([jpegs[0], "/nonexistent/x.jpg"], 256, 224,
                                   mean=(0, 0, 0), std=(1, 1, 1))

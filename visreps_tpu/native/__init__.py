@@ -61,6 +61,17 @@ def get_lib():
         ctypes.POINTER(ctypes.c_float),   # out
         ctypes.c_int,                     # n_threads
     ]
+    lib.decode_resize_batch_u8.restype = ctypes.c_int
+    lib.decode_resize_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),  # paths
+        ctypes.c_int,                     # n
+        ctypes.c_int,                     # resize_short
+        ctypes.c_int,                     # crop
+        ctypes.POINTER(ctypes.c_ubyte),   # hflip or None
+        ctypes.c_int,                     # fast_dct
+        ctypes.POINTER(ctypes.c_ubyte),   # out
+        ctypes.c_int,                     # n_threads
+    ]
     _lib = lib
     return _lib
 
@@ -96,5 +107,36 @@ def decode_batch(
         c_paths, n, resize_short, crop, c_mean, c_std, c_flip,
         1 if fast_dct else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
+    )
+    return out
+
+
+def decode_batch_u8(
+    paths: list[str],
+    resize_short: int = 256,
+    crop: int = 224,
+    hflip: np.ndarray | None = None,
+    fast_dct: bool = False,
+    n_threads: int = 16,
+) -> np.ndarray:
+    """Decode JPEG paths → (n, crop, crop, 3) uint8 NHWC (no normalize).
+
+    The uint8_transfer feed: rounding happens in C++ during the crop
+    pass, avoiding the float32 batch round-trip (+ numpy rint/clip/
+    astype) the float API needs for uint8 output.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("fastimage native library unavailable")
+    n = len(paths)
+    out = np.empty((n, crop, crop, 3), np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_flip = None
+    if hflip is not None:
+        flags = np.ascontiguousarray(hflip, np.uint8)
+        c_flip = flags.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    lib.decode_resize_batch_u8(
+        c_paths, n, resize_short, crop, c_flip, 1 if fast_dct else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), n_threads,
     )
     return out

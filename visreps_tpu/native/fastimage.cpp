@@ -257,6 +257,21 @@ void resize_image(const unsigned char* src, int in_w, int in_h,
   }
 }
 
+// Shorter-side resize dims. Python round() is banker's rounding — use
+// nearbyint (FE_TONEAREST) so resize dims and crop offsets match the
+// PIL/torchvision pipeline.
+void resize_dims(int w, int h, int resize_short, int& rw, int& rh) {
+  if (w <= h) {
+    rw = resize_short;
+    rh = std::max(1, static_cast<int>(std::nearbyint(
+             static_cast<double>(h) * resize_short / w)));
+  } else {
+    rh = resize_short;
+    rw = std::max(1, static_cast<int>(std::nearbyint(
+             static_cast<double>(w) * resize_short / h)));
+  }
+}
+
 void process_one(const char* path, int resize_short, int crop,
                  const float* mean, const float* stdv, bool hflip,
                  bool fast_dct, float* out) {
@@ -267,21 +282,17 @@ void process_one(const char* path, int resize_short, int crop,
     return;
   }
 
-  // shorter-side resize
-  // Python round() is banker's rounding — use nearbyint (FE_TONEAREST)
-  // so resize dims and crop offsets match the PIL/torchvision pipeline.
   int rw, rh;
-  if (w <= h) {
-    rw = resize_short;
-    rh = std::max(1, static_cast<int>(std::nearbyint(
-             static_cast<double>(h) * resize_short / w)));
-  } else {
-    rh = resize_short;
-    rw = std::max(1, static_cast<int>(std::nearbyint(
-             static_cast<double>(w) * resize_short / h)));
+  resize_dims(w, h, resize_short, rw, rh);
+  const bool identity = (rw == w && rh == h);
+  std::vector<float> resized;
+  if (!identity) {
+    // The triangle filter at scale 1 reduces to weights (1, 0): an
+    // already-at-size image passes through the resampler bit-exactly,
+    // so skipping it on the identity path changes nothing but time.
+    resized.resize(static_cast<size_t>(rw) * rh * 3);
+    resize_image(pixels.data(), w, h, resized.data(), rw, rh);
   }
-  std::vector<float> resized(static_cast<size_t>(rw) * rh * 3);
-  resize_image(pixels.data(), w, h, resized.data(), rw, rh);
 
   // center crop + normalize (+ optional horizontal flip)
   const int left = static_cast<int>(std::nearbyint((rw - crop) / 2.0));
@@ -289,15 +300,77 @@ void process_one(const char* path, int resize_short, int crop,
   const float inv255 = 1.0f / 255.0f;
   for (int y = 0; y < crop; ++y) {
     const int sy = std::min(std::max(top + y, 0), rh - 1);
-    const float* srow = resized.data() + static_cast<size_t>(sy) * rw * 3;
     float* drow = out + static_cast<size_t>(y) * crop * 3;
+    const float* frow =
+        identity ? nullptr : resized.data() + static_cast<size_t>(sy) * rw * 3;
+    const unsigned char* urow =
+        identity ? pixels.data() + static_cast<size_t>(sy) * rw * 3 : nullptr;
+    for (int x = 0; x < crop; ++x) {
+      const int sx0 = hflip ? (crop - 1 - x) : x;
+      const int sx = std::min(std::max(left + sx0, 0), rw - 1);
+      for (int c = 0; c < 3; ++c) {
+        const float raw = identity
+            ? static_cast<float>(urow[static_cast<size_t>(sx) * 3 + c])
+            : frow[static_cast<size_t>(sx) * 3 + c];
+        float v = std::min(std::max(raw, 0.0f), 255.0f) * inv255;
+        drow[3 * x + c] = (v - mean[c]) / stdv[c];
+      }
+    }
+  }
+}
+
+// uint8 output variant: decode → resize → crop → round, NO float
+// normalize pass and a 4x smaller output buffer. This is the
+// uint8_transfer feed (normalize-on-device pipelines); the previous
+// route (float decode with std=1/255, then numpy rint/clip/astype)
+// paid three extra full passes over a float32 batch on the host —
+// measured 170 img/s vs 836 img/s threaded PIL on the 1-CPU box.
+void process_one_u8(const char* path, int resize_short, int crop, bool hflip,
+                    bool fast_dct, unsigned char* out) {
+  std::vector<unsigned char> pixels;
+  int w = 0, h = 0;
+  if (!decode_image(path, resize_short, fast_dct, pixels, w, h) || w < 1 || h < 1) {
+    memset(out, 0, static_cast<size_t>(crop) * crop * 3);
+    return;
+  }
+
+  int rw, rh;
+  resize_dims(w, h, resize_short, rw, rh);
+  const bool identity = (rw == w && rh == h);
+  std::vector<float> resized;
+  if (!identity) {
+    resized.resize(static_cast<size_t>(rw) * rh * 3);
+    resize_image(pixels.data(), w, h, resized.data(), rw, rh);
+  }
+
+  const int left = static_cast<int>(std::nearbyint((rw - crop) / 2.0));
+  const int top = static_cast<int>(std::nearbyint((rh - crop) / 2.0));
+  for (int y = 0; y < crop; ++y) {
+    const int sy = std::min(std::max(top + y, 0), rh - 1);
+    unsigned char* drow = out + static_cast<size_t>(y) * crop * 3;
+    if (identity) {
+      const unsigned char* srow = pixels.data() + static_cast<size_t>(sy) * rw * 3;
+      if (!hflip && left >= 0 && left + crop <= rw) {
+        memcpy(drow, srow + static_cast<size_t>(left) * 3,
+               static_cast<size_t>(crop) * 3);
+        continue;
+      }
+      for (int x = 0; x < crop; ++x) {
+        const int sx0 = hflip ? (crop - 1 - x) : x;
+        const int sx = std::min(std::max(left + sx0, 0), rw - 1);
+        memcpy(drow + 3 * x, srow + static_cast<size_t>(sx) * 3, 3);
+      }
+      continue;
+    }
+    const float* srow = resized.data() + static_cast<size_t>(sy) * rw * 3;
     for (int x = 0; x < crop; ++x) {
       const int sx0 = hflip ? (crop - 1 - x) : x;
       const int sx = std::min(std::max(left + sx0, 0), rw - 1);
       const float* p = srow + static_cast<size_t>(sx) * 3;
       for (int c = 0; c < 3; ++c) {
-        float v = std::min(std::max(p[c], 0.0f), 255.0f) * inv255;
-        drow[3 * x + c] = (v - mean[c]) / stdv[c];
+        // nearbyint under FE_TONEAREST == np.rint (half to even).
+        drow[3 * x + c] = static_cast<unsigned char>(
+            std::nearbyint(std::min(std::max(p[c], 0.0f), 255.0f)));
       }
     }
   }
@@ -334,6 +407,32 @@ int decode_resize_batch(const char** paths, int n, int resize_short, int crop,
   for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
   for (auto& t : pool) t.join();
   return failures.load();
+}
+
+// Decode a batch of JPEGs into a (n, crop, crop, 3) uint8 NHWC buffer
+// (the uint8_transfer feed — normalization happens on device).
+int decode_resize_batch_u8(const char** paths, int n, int resize_short,
+                           int crop, const unsigned char* hflip, int fast_dct,
+                           unsigned char* out, int n_threads) {
+  std::atomic<int> next(0);
+  const size_t stride = static_cast<size_t>(crop) * crop * 3;
+
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      process_one_u8(paths[i], resize_short, crop,
+                     hflip != nullptr && hflip[i] != 0, fast_dct != 0,
+                     out + stride * i);
+    }
+  };
+
+  int threads = std::max(1, std::min(n_threads, n));
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return 0;
 }
 
 }  // extern "C"

@@ -35,6 +35,12 @@ logger = logging.getLogger(__name__)
 _CORR = {"pearson": pearson_corr, "spearman": spearman_corr_dense,
          "spearman_exact": spearman_corr, "kendall": kendall_tau_a}
 
+#: Wall-clock of the last compute_rsa call's steps (selection /
+#: re-extraction / point score / bootstrap), for benchmark phase
+#: attribution — the THINGS branch's scoring phase is otherwise one
+#: opaque number.
+LAST_RSA_TIMES: Dict[str, float] = {}
+
 
 def _flat(a: np.ndarray) -> np.ndarray:
     return a.reshape(a.shape[0], -1) if a.ndim > 2 else a
@@ -266,8 +272,13 @@ def compute_rsa(
         )
 
     # ── 1. Layer selection ─────────────────────────────────────
+    import time as _time
+
+    LAST_RSA_TIMES.clear()
+    _t = _time.perf_counter()
     scores = select_best_layer(selection.activations, selection.neural, method, sel_idx,
                                exact_ties=bool(cfg.get("selection_exact_ties", False)))
+    LAST_RSA_TIMES["selection_s"] = round(_time.perf_counter() - _t, 1)
     selection_scores = [{"layer": l, "score": s} for l, s in scores.items()]
     best_layer = max(scores, key=lambda l: scores[l] if scores[l] == scores[l] else -np.inf)
     if verbose:
@@ -276,9 +287,12 @@ def compute_rsa(
         rprint(f"  Best layer: {best_layer} (score={scores[best_layer]:.4f})", style="highlight")
 
     # ── 2. Test evaluation (optional exact re-extraction) ──────
+    _t = _time.perf_counter()
     if re_extract_fn is not None:
         rprint(f"  Re-extracting {best_layer} without SRP for exact test RDMs...", style="info")
         exact_acts, _ = re_extract_fn(best_layer, evaluation.stimulus_ids)
+        LAST_RSA_TIMES["re_extract_s"] = round(_time.perf_counter() - _t, 1)
+        _t = _time.perf_counter()
         # Device-resident re-extractions (e.g. device-averaged concept
         # means) stay on device — np.asarray would fetch the matrix
         # across the link only for compute_rdm to re-upload it.
@@ -290,6 +304,8 @@ def compute_rsa(
     test_neural_rdm = compute_rdm(jnp.asarray(evaluation.neural))
     test_model_rdm = compute_rdm(jnp.asarray(test_acts_flat))
     point_estimate = compute_rdm_correlation(test_model_rdm, test_neural_rdm, correlation=method)
+    LAST_RSA_TIMES["point_score_s"] = round(_time.perf_counter() - _t, 1)
+    _t = _time.perf_counter()
     if verbose:
         rprint(f"  Test RSA = {point_estimate:.4f}", style="highlight")
 
@@ -326,6 +342,7 @@ def compute_rsa(
         )
         ci_low, ci_high = percentile_ci(boot)
         bootstrap_scores_list = boot.tolist()
+    LAST_RSA_TIMES["bootstrap_s"] = round(_time.perf_counter() - _t, 1)
 
     msg = f"  {method.capitalize():<10}| {best_layer} = {point_estimate:.4f}"
     if bootstrap:

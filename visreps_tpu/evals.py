@@ -309,6 +309,8 @@ def _eval_things(cfg, verbose, mesh=None):
     acts, ids = extractor.get_activations(dl, store=store)
     extractor.free_projection_cache()
     LAST_PHASE_TIMES["extraction_s"] = timer.mark("extraction")
+    for k, v in getattr(extractor, "last_extract_times", {}).items():
+        LAST_PHASE_TIMES[f"extraction_{k}"] = v
     all_concepts = prepare_concept_alignment(cfg, acts, neural_data, ids)
     del acts, neural_data
     LAST_PHASE_TIMES["concept_avg_s"] = timer.mark("concept_avg")
@@ -358,6 +360,10 @@ def _eval_things(cfg, verbose, mesh=None):
         cfg, selection, evaluation, verbose=verbose, re_extract_fn=re_extract_fn, mesh=mesh
     )
     LAST_PHASE_TIMES["scoring_s"] = timer.mark("scoring")
+    from visreps_tpu.analysis.rsa import LAST_RSA_TIMES
+
+    for k, v in LAST_RSA_TIMES.items():
+        LAST_PHASE_TIMES[f"scoring_{k}"] = v
     if cfg.get("log_expdata"):
         save_results(scores, cfg)
     return scores

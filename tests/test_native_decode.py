@@ -131,6 +131,63 @@ class TestLoaderIntegration:
         assert batch.shape == (1, 224, 224, 3)
 
 
+class TestHdf5BatchRead:
+    """Bulk-readable stimulus stores (LazyHdf5Dict.get_batch) feed the
+    uint8 loader path with run-sliced h5py reads — must be bit-equal to
+    the per-item path in the string-sorted key order both use."""
+
+    @pytest.fixture(scope="class")
+    def brick(self, tmp_path_factory):
+        import h5py
+
+        path = str(tmp_path_factory.mktemp("brick") / "b.hdf5")
+        rng = np.random.RandomState(3)
+        data = rng.randint(0, 256, (120, 256, 256, 3), dtype=np.uint8)
+        with h5py.File(path, "w") as f:
+            f.create_dataset("imgBrick", data=data)
+        return path, data
+
+    def test_matches_per_item(self, brick):
+        from visreps_tpu.data.neural import LazyHdf5Dict
+
+        path, data = brick
+        stim = LazyHdf5Dict(path, "imgBrick", range(120))
+        ds = StimuliDataset(stim, get_transform("imgnet", normalize=False))
+        ds._cache = None
+        idxs = list(range(64))
+        out = ds.native_batch(idxs)
+        assert out is not None
+        batch, keys = out
+        assert batch.dtype == np.uint8
+        for j, i in enumerate(idxs):
+            ref, k = ds[i]
+            assert keys[j] == k
+            np.testing.assert_array_equal(batch[j], ref)
+
+    def test_scattered_runs(self, brick):
+        """String-sorted int keys interleave digit groups — the
+        run-sliced reader must reorder correctly."""
+        from visreps_tpu.data.neural import LazyHdf5Dict
+
+        path, data = brick
+        stim = LazyHdf5Dict(path, "imgBrick", range(120))
+        ds = StimuliDataset(stim, get_transform("imgnet", normalize=False))
+        ds._cache = None
+        # keys sorted as strings: '0','1','10','100',... — scattered
+        assert [int(k) for k in ds.keys] != sorted(int(k) for k in ds.keys)
+        batch, keys = ds.native_batch(list(range(len(ds))))
+        for j in (0, 1, 2, 50, 119):
+            np.testing.assert_array_equal(batch[j], data[int(keys[j])][16:240, 16:240])
+
+    def test_float_feed_stays_per_item(self, brick):
+        from visreps_tpu.data.neural import LazyHdf5Dict
+
+        path, _ = brick
+        stim = LazyHdf5Dict(path, "imgBrick", range(8))
+        ds = StimuliDataset(stim, get_transform("imgnet", normalize=True))
+        assert ds.native_batch(list(range(8))) is None
+
+
 class TestDecodeCache:
     """Two-pass evals (THINGS/TVSD bulk + exact re-extraction) decode
     each JPEG once: StimuliDataset caches transformed outputs."""

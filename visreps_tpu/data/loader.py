@@ -93,6 +93,28 @@ class PrefetchLoader:
             stop.set()
 
 
+def _batch_array_fast(batch: np.ndarray, spec: dict) -> np.ndarray | None:
+    """Batched twin of transforms._array_fast: uint8 HWC arrays whose
+    shorter side equals the resize size reduce the whole transform to a
+    center-crop slice (+ optional normalize) — same offsets, same
+    arithmetic, applied to the (B, H, W, 3) stack in one pass."""
+    if (spec["augment"] or batch.ndim != 4 or batch.shape[3] != 3
+            or batch.dtype != np.uint8):
+        return None
+    h, w = batch.shape[1:3]
+    crop = spec["crop"]
+    if min(h, w) != spec["resize"] or h < crop or w < crop:
+        return None
+    top = int(round((h - crop) / 2.0))
+    left = int(round((w - crop) / 2.0))
+    out = batch[:, top: top + crop, left: left + crop]
+    if not spec.get("normalize", True):
+        return np.ascontiguousarray(out)
+    mean = np.asarray(spec["mean"], np.float32)
+    std = np.asarray(spec["std"], np.float32)
+    return (np.asarray(out, np.float32) / 255.0 - mean) / std
+
+
 class StimuliDataset:
     """Sorted-key stimulus dataset: path / ndarray / PIL values.
 
@@ -162,6 +184,22 @@ class StimuliDataset:
         if self._cache is not None and all(i in self._cache for i in idxs):
             return (np.stack([self._cache[i] for i in idxs]),
                     [self.keys[i] for i in idxs])
+        get_batch = getattr(self.stimuli, "get_batch", None)
+        if get_batch is not None and not spec.get("normalize", True):
+            # Bulk-readable store (HDF5 brick), uint8 feed: one h5py
+            # run-sliced read for the batch, then the same
+            # identity-resize center-crop math as the per-item uint8
+            # fast path, vectorized over the batch. (The float feed
+            # stays per-item: its normalize arithmetic parallelizes
+            # over decode threads, while one batched float pass is
+            # single-threaded and slower.)
+            keys = [self.keys[i] for i in idxs]
+            out = _batch_array_fast(get_batch(keys), spec)
+            if out is not None:
+                if self._cache is not None:
+                    for j, i in enumerate(idxs):
+                        self._cache[i] = out[j]
+                return out, keys
         keys, paths = [], []
         for i in idxs:
             key = self.keys[i]

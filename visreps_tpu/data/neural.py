@@ -104,6 +104,36 @@ class LazyHdf5Dict:
             raise KeyError(key)
         return self._open()[self._name][self._index_map[k]]
 
+    def get_batch(self, keys) -> "np.ndarray":
+        """One h5py read for a whole batch of keys.
+
+        Per-item __getitem__ pays h5py's per-call overhead ~73k times
+        over the NSD brick (the dominant loader wall at e2e scale);
+        batch reads are a contiguous slice when the sorted-key batch
+        maps to consecutive rows (the common case — loaders iterate
+        keys sorted), else one fancy-index read.
+        """
+        import numpy as np
+
+        idxs = np.asarray([self._index_map[str(k)] for k in keys])
+        dset = self._open()[self._name]
+        if (np.diff(idxs) == 1).all():
+            return np.asarray(dset[int(idxs[0]): int(idxs[0]) + len(idxs)])
+        # Scattered batch (string-sorted int keys interleave digit
+        # groups): read ascending CONTIGUOUS RUNS as slices — h5py
+        # fancy indexing at this granularity is ~7x slower than the
+        # per-item path, while run slices beat both.
+        order = np.argsort(idxs, kind="stable")
+        s = idxs[order]
+        out = np.empty((len(idxs), *dset.shape[1:]), dset.dtype)
+        run_start = 0
+        for i in range(1, len(s) + 1):
+            if i == len(s) or s[i] != s[i - 1] + 1:
+                block = dset[int(s[run_start]): int(s[i - 1]) + 1]
+                out[order[run_start:i]] = block
+                run_start = i
+        return out
+
     def __del__(self):
         if self._file is not None:
             try:

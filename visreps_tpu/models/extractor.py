@@ -28,6 +28,7 @@ import numpy as np
 from visreps_tpu.core.logging import rprint
 from visreps_tpu.models.zoo import ModelState
 from visreps_tpu.ops.srp import SRPTransform
+from visreps_tpu.ops.srp import apply_chunked as srp_apply_chunked
 
 
 def expand_return_nodes(module, return_nodes: Sequence[str], extract_pre_and_post: bool = True):
@@ -138,11 +139,15 @@ class FeatureExtractor:
             out = {}
             for p in points:
                 flat = taps[p].reshape(taps[p].shape[0], -1)
-                o = jax.lax.dot_general(
-                    flat.astype(jnp.bfloat16), proj[alias[p]],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                # proj is keyed by INPUT DIM, not tap name: taps sharing
+                # a dim share one projection argument. Passing the same
+                # matrix once per tap made the AOT compiler account it
+                # once per parameter — 24 ViT-L block taps × 2.05 GB
+                # billed 49.3 GB of HBM "arguments" against a 15.75 GB
+                # chip and the towers failed to compile. Values are
+                # chunk tuples (a single (263168, 4096) bf16 buffer also
+                # crosses the 2^31-byte limit; see ops/srp.py).
+                o = srp_apply_chunked(flat, proj[str(flat.shape[1])])
                 # Device-store callers consume bf16; casting HERE fuses
                 # into the matmul epilogue — a separate astype per tap
                 # per batch is ~2k extra relay dispatches at 73k scale.
@@ -226,7 +231,11 @@ class FeatureExtractor:
 
     # ── projection matrices (built once, HBM-resident) ──────────
     def _proj_dict(self):
-        proj = {name: self.srp.matrix(d) for name, d in self.tap_dims.items()}
+        # Keyed by unique input dim (stringified for the jit pytree):
+        # pre/post tap pairs and same-width transformer blocks share
+        # one argument — see the dedup note in _srp_body.
+        proj = {str(d): self.srp.matrix_chunks(d)
+                for d in set(self.tap_dims.values())}
         if self._batch_sharding is not None:
             proj = jax.device_put(proj, self._replicated)
         return proj

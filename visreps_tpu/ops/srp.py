@@ -68,7 +68,20 @@ class SRPTransform:
     density: float | None = None  # None → 'auto' = 1/sqrt(D)
     _cache: dict = field(default_factory=dict, repr=False)
 
-    def matrix(self, d: int) -> jnp.ndarray:
+    def matrix_chunks(self, d: int) -> tuple:
+        """Projection for input dim d, as a tuple of row-chunks.
+
+        A single dense (d, k) bf16 buffer must stay under XLA's 2^31-
+        byte buffer limit — CLIP/DINOv2 ViT-L taps (d = 257·1024 =
+        263,168 at 224 px) put it at 2.155 GB and the remote compile
+        helper rejects the program (measured: exit 1 on both towers;
+        ViT-B's 1.24 GB compiles). Dims whose matrix fits stay ONE
+        chunk, bit-identical to the unchunked build (same subseed →
+        same matrix → same cached executables); oversize dims split
+        into equal row-chunks with per-chunk subseeds — entries remain
+        i.i.d. from the same Achlioptas/Li family, and the projection
+        is applied as a sum of chunked matmuls.
+        """
         key = (d, self.k)
         if key not in self._cache:
             k_eff = min(self.k, d)
@@ -76,21 +89,53 @@ class SRPTransform:
             # Per-D subseed so every unique input dim gets an
             # independent projection (reference caches per-D files).
             subseed = (self.seed * 1_000_003 + d) % (2**31 - 1)
-            self._cache[key] = _make_matrix(jnp.uint32(subseed), d, k_eff, density)
+            if 2 * d * k_eff < 2**31:
+                chunks = (_make_matrix(jnp.uint32(subseed), d, k_eff, density),)
+            else:
+                n_chunks = -(-(2 * d * k_eff) // (2**30))  # chunks ≤ 1 GB
+                rows = -(-d // n_chunks)
+                chunks = tuple(
+                    _make_matrix(
+                        jnp.uint32((subseed + 1_000_003 * (ci + 1)) % (2**31 - 1)),
+                        min(rows, d - start), k_eff, density)
+                    for ci, start in enumerate(range(0, d, rows)))
+            self._cache[key] = chunks
         return self._cache[key]
+
+    def matrix(self, d: int) -> jnp.ndarray:
+        chunks = self.matrix_chunks(d)
+        if len(chunks) > 1:
+            raise ValueError(
+                f"SRP matrix for d={d} exceeds the single-buffer limit; "
+                "use matrix_chunks() / apply_chunked()")
+        return chunks[0]
 
     def out_dim(self, d: int) -> int:
         return min(self.k, d)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """Project (..., D) → (..., min(k, D)) with f32 accumulation."""
-        d = x.shape[-1]
-        m = self.matrix(d)
-        return jax.lax.dot_general(
-            x.astype(jnp.bfloat16), m,
+        return apply_chunked(x, self.matrix_chunks(x.shape[-1]))
+
+
+def apply_chunked(x: jnp.ndarray, chunks) -> jnp.ndarray:
+    """x (..., D) @ concat(chunks) with f32 accumulation, without ever
+    materializing the concatenated (D, k) matrix: each row-chunk
+    multiplies its slice of x and the partials sum."""
+    out = None
+    off = 0
+    for m in chunks:
+        r = m.shape[0]
+        xs = jax.lax.slice_in_dim(x, off, off + r, axis=x.ndim - 1) \
+            if len(chunks) > 1 else x
+        part = jax.lax.dot_general(
+            xs.astype(jnp.bfloat16), m,
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        out = part if out is None else out + part
+        off += r
+    return out
 
 
 # ─────────────── SRHT: storage-free structured JL ───────────────

@@ -271,7 +271,15 @@ def eval(cfg: Config, mesh=None):
     rprint("  Activations extracted once for all subjects/regions", style="success")
 
     if analysis == "rsa":
-        return _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions,
+        # Box the store and drop THIS frame's binding: `del acts` inside
+        # _eval_rsa frees nothing while the caller still references the
+        # dict — the 73k bf16 device store (~8.4 GB) then coexists with
+        # phase 2's ~4 GB of exact f32 taps, a measured intermittent
+        # HBM OOM on a 15.75 GB chip (e2e run 2026-08-19, RESOURCE_
+        # EXHAUSTED at the one-program RDM build).
+        acts_box = [acts]
+        del acts
+        return _eval_rsa(cfg, extractor, acts_box, ids, all_data, subjects, regions,
                          verbose, mesh, sel_plan=sel_plan)
     if analysis == "encoding_score":
         return _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose, mesh)
@@ -372,7 +380,15 @@ def _eval_things(cfg, verbose, mesh=None):
 # ──────────────────── RSA branch ─────────────────────────
 def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
               mesh=None, sel_plan=None) -> List[Dict]:
-    """Two-phase RSA. Reference: evals.py:222-400."""
+    """Two-phase RSA. Reference: evals.py:222-400.
+
+    ``acts``: the bulk SRP store, either the dict itself or a
+    single-element list boxing it (the caller empties its own binding
+    so the post-phase-1 ``del acts`` genuinely frees the device store
+    before phase 2's exact taps allocate).
+    """
+    if isinstance(acts, list):
+        acts = acts.pop()
     method = cfg.get("compare_method", "spearman").lower()
     bootstrap = cfg.get("bootstrap", False)
     n_bootstrap = cfg.get("n_bootstrap", 1000)

@@ -433,9 +433,15 @@ class FeatureExtractor:
         # off the retention path: retention computes per-batch kept-row
         # indices that assume single-batch granularity. Multi-host mesh
         # feeds also stay at K=1 (put_global_batch shards per batch).
+        # Default K=4: dispatch round-trips dominate extraction whenever
+        # the relay degrades (measured same-code e2e dispatch walls of
+        # 8.8 s → 533 s across windows; at K=4 the 73k extraction is
+        # 2×36 dispatches instead of 2×143, and a degraded-window A/B
+        # measured 340 s vs 352 s WITH K=4's first-compile included —
+        # the healthy-window cost is a few extra zero-padded batches).
         k_super = 1
         if retain_ids is None and self._batch_sharding is None:
-            k_super = max(1, int(os.environ.get("VISREPS_SUPERBATCH", "1")))
+            k_super = max(1, int(os.environ.get("VISREPS_SUPERBATCH", "4")))
 
         # Device-store fast path: preallocate the full (N_pad, k) bf16
         # store per tap and have ONE program (forward + SRP + donated

@@ -761,10 +761,13 @@ def stage_workloads():
     import sys
 
     scale = float(os.environ.get("VISREPS_WORKLOAD_SUBCAP_SCALE", "1"))
+    # Fastest-first (measured warm-cache walls: 83 / 178 / ~100-330 /
+    # ~250-440 s): a driver-budget timeout then preserves the most
+    # completed sub-measurements via the cumulative snapshots.
     sub = [
+        ("nsd_synthetic", "nsd_synthetic_e2e", 420),
         ("things", "things_e2e", 600),
         ("tvsd", "tvsd_e2e", 600),
-        ("nsd_synthetic", "nsd_synthetic_e2e", 420),
         ("cross_model", "cross_model", 600),
     ]
     acc: dict = {}

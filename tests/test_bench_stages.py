@@ -331,6 +331,62 @@ class TestWorkloadStages:
         assert out["cross_model_rdm_s"] > 0
 
 
+class TestWorkloadsGraceHarvest:
+    """stage_workloads grace-harvests its own inner orphans: a
+    sub-stage abandoned at its cap whose process later exits has its
+    real numbers merged over the timeout markers."""
+
+    @staticmethod
+    def _dead_pid():
+        import subprocess
+        import sys
+
+        p = subprocess.Popen([sys.executable, "-c", "pass"])
+        p.wait()
+        return p.pid
+
+    def test_exited_orphan_merged_over_timeout_markers(self, tmp_path, monkeypatch):
+        import json
+
+        out = tmp_path / "tvsd.out"
+        out.write_text("progress noise\n" + json.dumps(
+            {"stage": "tvsd_e2e", "tvsd_e2e_s": 99.0, "n_results": 6}) + "\n")
+        dead = self._dead_pid()
+
+        def fake(cmd, name, cap):
+            if name == "tvsd":
+                return {"tvsd_timeout_s": cap, "tvsd_orphan_pid": dead,
+                        "tvsd_orphan_out": str(out)}
+            return {f"{name}_e2e_s": 1.0}
+
+        monkeypatch.setattr(stages, "_run_substage", fake)
+        monkeypatch.setenv("VISREPS_WORKLOAD_GRACE_S", "30")
+        acc = stages.stage_workloads()
+        assert acc["tvsd_e2e_s"] == 99.0
+        assert acc["tvsd_n_results"] == 6
+        for marker in ("tvsd_timeout_s", "tvsd_orphan_pid", "tvsd_orphan_out"):
+            assert marker not in acc
+
+    def test_zero_grace_keeps_markers(self, tmp_path, monkeypatch):
+        import os
+
+        out = tmp_path / "things.out"
+        out.write_text("still working\n")
+
+        def fake(cmd, name, cap):
+            if name == "things":
+                return {"things_timeout_s": cap,
+                        "things_orphan_pid": os.getpid(),  # alive
+                        "things_orphan_out": str(out)}
+            return {f"{name}_e2e_s": 1.0}
+
+        monkeypatch.setattr(stages, "_run_substage", fake)
+        monkeypatch.setenv("VISREPS_WORKLOAD_GRACE_S", "0")
+        acc = stages.stage_workloads()
+        assert acc["things_timeout_s"] > 0
+        assert acc["things_orphan_pid"] == os.getpid()
+
+
 class TestLateHarvest:
     """bench.py folds in JSON lines from timed-out stages whose orphan
     process finished later (relay stalls make this the common case)."""

@@ -781,6 +781,45 @@ def stage_workloads():
         for k, v in res.items():
             acc[k if k.startswith(name) else f"{name}_{k}"] = v
         print(json.dumps({"stage": "workloads", "cumulative": True, **acc}), flush=True)
+
+    # Grace-harvest inner orphans: a sub-stage abandoned at its cap
+    # (relay stall) often finishes minutes later into its temp file —
+    # merge its real numbers over the timeout markers before the final
+    # line rather than losing them (a stalled TVSD measured 333 s
+    # against a healthy ~100 s; the cap can't be sized for stalls).
+    pending = {name: acc[f"{name}_orphan_pid"] for name, _, _ in sub
+               if f"{name}_orphan_pid" in acc}
+    deadline = time.monotonic() + float(
+        os.environ.get("VISREPS_WORKLOAD_GRACE_S", "420"))
+    while pending and time.monotonic() < deadline:
+        for name, pid in list(pending.items()):
+            try:
+                os.kill(pid, 0)
+                continue  # still running — never kill it
+            except OSError:
+                pass
+            del pending[name]
+            try:
+                with open(acc[f"{name}_orphan_out"]) as f:
+                    lines = f.read().strip().splitlines()
+            except OSError:
+                continue
+            for line in reversed(lines):
+                try:
+                    late = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                late.pop("stage", None)
+                for k in (f"{name}_timeout_s", f"{name}_orphan_pid",
+                          f"{name}_orphan_out"):
+                    acc.pop(k, None)
+                for k, v in late.items():
+                    acc[k if k.startswith(name) else f"{name}_{k}"] = v
+                print(json.dumps({"stage": "workloads", "cumulative": True,
+                                  **acc}), flush=True)
+                break
+        if pending:
+            time.sleep(5)
     return acc
 
 

@@ -19,9 +19,15 @@ to rc=124 with zero output):
     caps the whole run; stages that don't fit the remaining budget are
     skipped, not attempted.
   * The measured e2e runs FIRST and its headline JSON line is printed
-    the moment it completes; after every further stage an UPDATED full
-    line is printed. The driver parses the last valid line, so a
-    timeout at any point preserves everything measured so far.
+    the moment it completes; after every further stage an UPDATED line
+    is printed. The driver parses the last valid line, so a timeout at
+    any point preserves everything measured so far.
+  * The driver records only a ~2,000-char TAIL of stdout: every stdout
+    line is a COMPACT record (headline + priority extras, hard-capped
+    at Bench.COMPACT_MAX chars); the full cumulative record goes to
+    BENCH_DETAIL.json beside this file and to stderr (VERDICT r4
+    item 1 — r4's ever-growing stdout line outgrew the tail and the
+    round's record parsed as null).
   * Each stage runs in an isolated subprocess; a timed-out stage is
     ABANDONED, never killed (killing a mid-compile client wedges the
     remote-compile relay for ~1 h). Stages that run after an abandoned
@@ -186,8 +192,39 @@ class Bench:
                 set(self.extras.get("ran_after_orphan", []) + [name]))
         return res
 
-    def emit(self):
-        """Print the current best complete JSON line (headline + extras)."""
+    # Keys admitted onto the COMPACT stdout line, priority-ordered.
+    # The driver records only a ~2,000-char TAIL of stdout and parses
+    # the last JSON line inside it; BENCH_r04's cumulative line outgrew
+    # that window and the round's record came back `parsed: null`
+    # (VERDICT r4 item 1). Everything else goes to the sidecar +
+    # stderr; the stdout line is hard-capped at _COMPACT_MAX chars.
+    COMPACT_KEYS = (
+        # headline provenance
+        "e2e_runs_s", "e2e_headline_stat", "e2e_median_s",
+        "n_results_rows", "n_stimuli",
+        # headline phase decomposition (top-level phases only)
+        "phase_extraction_s", "phase_phase1_selection_s",
+        "phase_phase2_extract_s", "phase_scoring_bootstrap_s",
+        "phase_data_load_s", "phase_model_load_s", "phase_backend_init_s",
+        # the other BASELINE.json workloads
+        "encoding_48pair_full_nsd_s", "things_e2e_s", "tvsd_e2e_s",
+        "nsd_synthetic_e2e_s", "cross_model_rdm_s",
+        "cross_model_pretrained_weights",
+        # kernel / throughput headline numbers
+        "extract_images_per_sec_per_chip", "rsa_bootstraps_per_sec",
+        "kendall_bootstraps_per_sec", "rdm_10kx10k_ms",
+        "rdm_pallas_bf16_ms", "train_images_per_sec_per_chip",
+        "layer_selection_s_per_subject",
+        # roofline (VERDICT r4 item 7)
+        "train_step_mfu", "train_step_tflops", "train_bf16_images_per_sec",
+        "rdm_mfu", "rdm_tflops", "ridge_mfu", "ridge_tflops",
+        # measurement-integrity disclosures
+        "contaminated_by", "ran_after_orphan", "late_harvested",
+    )
+    COMPACT_MAX = 1600
+
+    def _full_record(self):
+        """The complete record (headline + every extra + phase splits)."""
         extras = dict(self.extras)
         if self.e2e:
             metric = "nsd_e2e_measured_73k_8subj_bootstrap_rsa"
@@ -220,7 +257,7 @@ class Bench:
                      + 5 * 1000 / ips + n_pairs * n_boot / bps)
             extras["measured"] = False
         ok = value == value  # NaN check
-        out = {
+        return {
             "metric": metric,
             "value": round(value, 2) if ok else -1,
             "unit": "s",
@@ -229,7 +266,40 @@ class Bench:
             "elapsed_s": round(time.monotonic() - T_START, 1),
             **extras,
         }
-        print(json.dumps(out), flush=True)
+
+    def compact_line(self, full: dict) -> str:
+        """Headline + priority-picked extras, capped at COMPACT_MAX chars."""
+        out = {k: full[k] for k in
+               ("metric", "value", "unit", "vs_baseline", "measured",
+                "budget_s", "elapsed_s") if k in full}
+        line = json.dumps(out)
+        for k in self.COMPACT_KEYS:
+            if k not in full:
+                continue
+            candidate = dict(out)
+            candidate[k] = full[k]
+            cand_line = json.dumps(candidate)
+            if len(cand_line) > self.COMPACT_MAX:
+                continue  # lower-priority keys may still be shorter
+            out, line = candidate, cand_line
+        return line
+
+    def emit(self):
+        """Record the full line (sidecar + stderr); print ONLY the
+        compact line to stdout so the driver's tail always parses."""
+        full = self._full_record()
+        full_line = json.dumps(full)
+        sidecar = os.environ.get(
+            "VISREPS_BENCH_DETAIL",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"))
+        try:
+            with open(sidecar, "w") as f:
+                f.write(full_line + "\n")
+        except OSError:
+            pass
+        print(f"# detail: {full_line}", file=sys.stderr, flush=True)
+        print(self.compact_line(full), flush=True)
 
 
 def main():
@@ -252,6 +322,12 @@ def main():
     # It remains the right shape for real multi-host TPU pods (PCIe
     # feeds, per-host loaders); benchmark it there, not here.
     b.e2e = b.run("e2e_measured", cap=e2e_cap, need=240)
+    if b.e2e:
+        # The per-run wall list is always on the record, single run
+        # included, so the headline's provenance never lives only in
+        # notes (VERDICT r4 item 10).
+        b.extras["e2e_runs_s"] = [round(b.e2e["e2e_measured_s"], 1)]
+        b.extras["e2e_headline_stat"] = "single_run"
     b.emit()  # headline survives any later timeout
 
     # Relay variance is large and one-sided (measured same-code spread
@@ -261,7 +337,7 @@ def main():
     # run (both walls disclosed in e2e_runs_s).
     if (b.e2e and b.e2e["e2e_measured_s"] > 320 and remaining() > 500
             and fixture_ready):
-        runs = [round(b.e2e["e2e_measured_s"], 1)]
+        runs = list(b.extras["e2e_runs_s"])
         again = b.run("e2e_measured", cap=min(remaining() - 120, 900), need=300)
         if again:
             runs.append(round(again["e2e_measured_s"], 1))

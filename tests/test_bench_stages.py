@@ -367,6 +367,61 @@ class TestWorkloadsGraceHarvest:
         for marker in ("tvsd_timeout_s", "tvsd_orphan_pid", "tvsd_orphan_out"):
             assert marker not in acc
 
+    def test_unreaped_exited_orphan_harvested(self, tmp_path, monkeypatch):
+        """ADVICE r4 (high): the real timeout case leaves an UNREAPED
+        direct child — a zombie, for which os.kill(pid, 0) still
+        succeeds. The grace loop must detect the exit via the stashed
+        Popen (or waitpid) and merge, not burn the full grace window."""
+        import json
+        import subprocess
+        import sys
+        import time as _time
+
+        out = tmp_path / "tvsd.out"
+        out.write_text(json.dumps(
+            {"stage": "tvsd_e2e", "tvsd_e2e_s": 77.0, "n_results": 6}) + "\n")
+        err = tmp_path / "tvsd.err"
+        err.write_text("noise\n")
+        import os as _os
+
+        p = subprocess.Popen([sys.executable, "-c", "pass"])
+        # Block until exit WITHOUT reaping: p is now a zombie child —
+        # the exact state the r4 bug misread as "still running".
+        _os.waitid(_os.P_PID, p.pid, _os.WEXITED | _os.WNOWAIT)
+        monkeypatch.setattr(stages, "_ORPHAN_PROCS", {"tvsd": p})
+
+        def fake(cmd, name, cap):
+            if name == "tvsd":
+                return {"tvsd_timeout_s": cap, "tvsd_orphan_pid": p.pid,
+                        "tvsd_orphan_out": str(out),
+                        "tvsd_orphan_err": str(err)}
+            return {f"{name}_e2e_s": 1.0}
+
+        monkeypatch.setattr(stages, "_run_substage", fake)
+        monkeypatch.setenv("VISREPS_WORKLOAD_GRACE_S", "30")
+        t0 = _time.monotonic()
+        acc = stages.stage_workloads()
+        assert _time.monotonic() - t0 < 20  # merged, not grace-burned
+        assert acc["tvsd_e2e_s"] == 77.0
+        for marker in ("tvsd_timeout_s", "tvsd_orphan_pid",
+                       "tvsd_orphan_out", "tvsd_orphan_err"):
+            assert marker not in acc
+        # harvested temp files are unlinked (ADVICE r4 fd/tmp leak)
+        assert not out.exists() and not err.exists()
+
+    def test_unreaped_exited_orphan_pid_only_fallback(self, tmp_path,
+                                                      monkeypatch):
+        """Same scenario without the Popen stash: the waitpid fallback
+        must reap the zombie and report it dead."""
+        import os as _os
+        import subprocess
+        import sys
+
+        p = subprocess.Popen([sys.executable, "-c", "pass"])
+        _os.waitid(_os.P_PID, p.pid, _os.WEXITED | _os.WNOWAIT)  # zombie
+        monkeypatch.setattr(stages, "_ORPHAN_PROCS", {})
+        assert stages._orphan_alive("ghost", p.pid) is False
+
     def test_zero_grace_keeps_markers(self, tmp_path, monkeypatch):
         import os
 
@@ -385,6 +440,95 @@ class TestWorkloadsGraceHarvest:
         acc = stages.stage_workloads()
         assert acc["things_timeout_s"] > 0
         assert acc["things_orphan_pid"] == os.getpid()
+
+
+class TestCompactEmit:
+    """VERDICT r4 item 1: the driver keeps only a ~2,000-char stdout
+    tail — every stdout line must be a self-contained compact record
+    under Bench.COMPACT_MAX chars, with the full dump in the sidecar."""
+
+    def _bench_module(self):
+        import importlib.util
+        import pathlib
+
+        path = pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+        spec = importlib.util.spec_from_file_location("_benchmod2", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def _loaded_bench(self):
+        mod = self._bench_module()
+        b = mod.Bench()
+        b.e2e = {"e2e_measured_s": 246.6, "db_rows": 48, "n_stimuli": 73000,
+                 **{f"phase_{k}_s": 1.0 for k in (
+                     "backend_init", "model_load", "data_load", "extraction",
+                     "extraction_enqueue", "extraction_drain",
+                     "extraction_loader", "extraction_upload_wait",
+                     "extraction_dispatch", "phase1_staging",
+                     "phase1_selection", "phase2_extract",
+                     "scoring_bootstrap")}}
+        # a realistic r4-sized extras payload (the one that broke r4)
+        for wl in ("things", "tvsd", "nsd_synthetic", "cross_model"):
+            for k in ("e2e_s", "n_results", "db_rows", "phase_extraction_s",
+                      "phase_extraction_enqueue_s", "phase_extraction_drain_s",
+                      "phase_extraction_loader_s", "phase_scoring_s",
+                      "phase_scoring_point_score_s", "phase_model_load_s"):
+                b.extras[f"{wl}_{k}"] = 123.456
+        b.extras.update({
+            "e2e_runs_s": [246.6, 301.2], "e2e_headline_stat": "best_of_2",
+            "e2e_median_s": 273.9, "encoding_48pair_full_nsd_s": 297.0,
+            "extract_images_per_sec_per_chip": 7741.2,
+            "rsa_bootstraps_per_sec": 1234.5, "rdm_10kx10k_ms": 321.0,
+            "train_images_per_sec_per_chip": 11037.0, "train_step_mfu": 0.08,
+            "cross_model_pretrained_weights": True,
+        })
+        return mod, b
+
+    def test_compact_line_fits_and_parses(self):
+        import json
+
+        _, b = self._loaded_bench()
+        full = b._full_record()
+        line = b.compact_line(full)
+        assert len(line) <= b.COMPACT_MAX
+        rec = json.loads(line)
+        # headline fields always present
+        assert rec["metric"] == "nsd_e2e_measured_73k_8subj_bootstrap_rsa"
+        assert rec["value"] == 246.6
+        assert rec["measured"] is True
+        assert rec["vs_baseline"] == round(300.0 / 246.6, 3)
+        # priority extras made it on
+        assert rec["e2e_runs_s"] == [246.6, 301.2]
+        assert rec["phase_extraction_s"] == 1.0
+        assert rec["train_step_mfu"] == 0.08
+
+    def test_emit_writes_sidecar_and_compact_stdout(self, tmp_path,
+                                                    monkeypatch, capsys):
+        import json
+        import os
+
+        mod, b = self._loaded_bench()
+        monkeypatch.setenv("VISREPS_BENCH_DETAIL",
+                           str(tmp_path / "BENCH_DETAIL.json"))
+        b.emit()
+        out_lines = capsys.readouterr().out.strip().splitlines()
+        assert len(out_lines) == 1
+        assert len(out_lines[0]) <= b.COMPACT_MAX
+        json.loads(out_lines[0])
+        detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+        # the sidecar keeps what the compact line drops
+        assert detail["things_phase_extraction_enqueue_s"] == 123.456
+
+    def test_compact_line_honors_cap_under_huge_extras(self):
+        import json
+
+        _, b = self._loaded_bench()
+        for i in range(400):
+            b.extras[f"overflow_key_number_{i:04d}_s"] = 1.0
+        line = b.compact_line(b._full_record())
+        assert len(line) <= b.COMPACT_MAX
+        json.loads(line)
 
 
 class TestLateHarvest:

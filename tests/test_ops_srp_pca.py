@@ -62,6 +62,69 @@ class TestSRP:
         assert score > 0.95
 
 
+class TestSRPChunks:
+    def test_chunk_streams_disjoint_from_base_dims(self):
+        """ADVICE r4: a row-chunk's RNG stream must not alias any other
+        tap dim's whole-matrix stream. Chunk keys now come from
+        fold_in(PRNGKey(subseed), ci+1), so the chunk of dim d differs
+        from the matrix head of EVERY base dim — in particular the one
+        the old additive formula collided with."""
+        from visreps_tpu.ops.srp import _make_matrix, _make_matrix_chunk
+        import jax.numpy as jnp
+
+        seed, d = 0, 300
+        subseed = (seed * 1_000_003 + d) % (2**31 - 1)
+        chunk1 = np.asarray(_make_matrix_chunk(
+            jnp.uint32(subseed), jnp.uint32(1), d, 32, 0.2))
+        # the dim whose base subseed the OLD formula equalled
+        d_alias = d + 1_000_003
+        base_alias = np.asarray(_make_matrix(
+            jnp.uint32((seed * 1_000_003 + d_alias) % (2**31 - 1)),
+            d, 32, 0.2))
+        assert not np.array_equal(chunk1, base_alias)
+        # and chunks are mutually distinct + deterministic
+        chunk2 = np.asarray(_make_matrix_chunk(
+            jnp.uint32(subseed), jnp.uint32(2), d, 32, 0.2))
+        assert not np.array_equal(chunk1, chunk2)
+        np.testing.assert_array_equal(chunk1, np.asarray(_make_matrix_chunk(
+            jnp.uint32(subseed), jnp.uint32(1), d, 32, 0.2)))
+
+    def test_unchunked_matrix_unchanged(self):
+        """Dims under the buffer limit keep the PRNGKey(subseed) build
+        (warm compile caches / stored fixtures stay valid)."""
+        from visreps_tpu.ops.srp import SRPTransform, _make_matrix
+        import jax.numpy as jnp
+
+        srp = SRPTransform(k=16, seed=7)
+        (m,) = srp.matrix_chunks(100)
+        subseed = (7 * 1_000_003 + 100) % (2**31 - 1)
+        ref = _make_matrix(jnp.uint32(subseed), 100, 16,
+                           1.0 / np.sqrt(100))
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(ref))
+
+    def test_chunked_projection_applies(self, rng):
+        """apply_chunked over forced multi-chunk matrices equals the
+        concatenated-matrix matmul."""
+        import jax.numpy as jnp
+
+        from visreps_tpu.ops.srp import SRPTransform, apply_chunked
+
+        srp = SRPTransform(k=8, seed=1)
+        d = 64
+        # force 4 chunks by building them directly
+        from visreps_tpu.ops.srp import _make_matrix_chunk
+
+        subseed = (1 * 1_000_003 + d) % (2**31 - 1)
+        chunks = tuple(_make_matrix_chunk(jnp.uint32(subseed),
+                                          jnp.uint32(ci + 1), 16, 8, 0.3)
+                       for ci in range(4))
+        x = rng.randn(3, d).astype(np.float32)
+        out = np.asarray(apply_chunked(jnp.asarray(x), chunks))
+        full = np.concatenate([np.asarray(c, np.float32) for c in chunks])
+        ref = x.astype(np.float32) @ full
+        np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
 class TestSRHT:
     def test_shape_and_determinism(self, rng):
         x = rng.randn(6, 700).astype(np.float32)

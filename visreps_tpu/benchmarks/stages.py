@@ -695,6 +695,32 @@ def stage_cross_model(n_images=256, batch_size=64, srp_k=4096, models=None,
     return res
 
 
+# Popen handles of timed-out sub-stages, keyed by sub-stage name: the
+# grace-harvest loop probes liveness via proc.poll() (which also reaps
+# the child). os.kill(pid, 0) is NOT a liveness probe for a direct
+# child — it succeeds on the zombie an exited-but-unreaped orphan
+# becomes, so the old pid-based loop burned the full grace window on an
+# already-finished orphan and never merged its numbers (ADVICE r4).
+_ORPHAN_PROCS: dict = {}
+
+
+def _orphan_alive(name: str, pid: int) -> bool:
+    """True iff the abandoned sub-stage is still RUNNING (reaps it if
+    it exited). Falls back to waitpid for pid-only callers (tests)."""
+    proc = _ORPHAN_PROCS.get(name)
+    if proc is not None:
+        return proc.poll() is None
+    try:
+        done_pid, _ = os.waitpid(pid, os.WNOHANG)  # reaps a zombie child
+        return done_pid == 0
+    except ChildProcessError:  # not our child / already reaped
+        try:
+            os.kill(pid, 0)
+        except OSError:
+            return False
+        return True
+
+
 def _run_substage(cmd, name: str, cap_s: float) -> dict:
     """Run one sub-stage in its own interpreter; return its parsed
     last-JSON-line result, or an error/timeout marker dict.
@@ -714,15 +740,20 @@ def _run_substage(cmd, name: str, cap_s: float) -> dict:
     err = tempfile.NamedTemporaryFile("w+", suffix=f"_{name}.err", delete=False)
     proc = subprocess.Popen(cmd, stdout=out, stderr=err, text=True,
                             start_new_session=True)
+    # The child holds its own descriptors; keeping ours open leaks one
+    # fd pair per sub-stage (ADVICE r4).
+    out.close(), err.close()
     deadline = time.monotonic() + cap_s
     while proc.poll() is None and time.monotonic() < deadline:
         time.sleep(1)
     if proc.poll() is None:
         # Abandoned, still running: it may finish into its temp file —
-        # report where, so a caller (or a human) can late-harvest.
+        # report where, so the grace harvest (or a human) can
+        # late-harvest; keep the Popen for a real liveness probe.
+        _ORPHAN_PROCS[name] = proc
         return {f"{name}_timeout_s": cap_s, f"{name}_orphan_pid": proc.pid,
-                f"{name}_orphan_out": out.name}
-    out.flush(), err.flush()
+                f"{name}_orphan_out": out.name,
+                f"{name}_orphan_err": err.name}
     result = None
     with open(out.name) as f:
         for line in reversed(f.read().strip().splitlines()):
@@ -793,14 +824,12 @@ def stage_workloads():
         os.environ.get("VISREPS_WORKLOAD_GRACE_S", "420"))
     while pending and time.monotonic() < deadline:
         for name, pid in list(pending.items()):
-            try:
-                os.kill(pid, 0)
+            if _orphan_alive(name, pid):
                 continue  # still running — never kill it
-            except OSError:
-                pass
             del pending[name]
+            out_path = acc[f"{name}_orphan_out"]
             try:
-                with open(acc[f"{name}_orphan_out"]) as f:
+                with open(out_path) as f:
                     lines = f.read().strip().splitlines()
             except OSError:
                 continue
@@ -810,11 +839,18 @@ def stage_workloads():
                 except json.JSONDecodeError:
                     continue
                 late.pop("stage", None)
+                err_path = acc.get(f"{name}_orphan_err")
                 for k in (f"{name}_timeout_s", f"{name}_orphan_pid",
-                          f"{name}_orphan_out"):
+                          f"{name}_orphan_out", f"{name}_orphan_err"):
                     acc.pop(k, None)
                 for k, v in late.items():
                     acc[k if k.startswith(name) else f"{name}_{k}"] = v
+                for tmp in (out_path, err_path):
+                    if tmp:
+                        try:
+                            os.unlink(tmp)
+                        except OSError:
+                            pass
                 print(json.dumps({"stage": "workloads", "cumulative": True,
                                   **acc}), flush=True)
                 break

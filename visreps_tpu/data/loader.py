@@ -193,13 +193,28 @@ class StimuliDataset:
             # stays per-item: its normalize arithmetic parallelizes
             # over decode threads, while one batched float pass is
             # single-threaded and slower.)
-            keys = [self.keys[i] for i in idxs]
-            out = _batch_array_fast(get_batch(keys), spec)
-            if out is not None:
-                if self._cache is not None:
-                    for j, i in enumerate(idxs):
-                        self._cache[i] = out[j]
-                return out, keys
+            # Pre-check the store's per-item shape/dtype against the
+            # spec from h5py METADATA before issuing the bulk read — a
+            # mismatched store would have _batch_array_fast decline
+            # AFTER the brick I/O, and the per-item fallback then pays
+            # the read twice (ADVICE r4).
+            item_spec = getattr(self.stimuli, "item_spec", None)
+            eligible = True
+            if item_spec is not None:
+                shape, dtype = item_spec()
+                crop = spec["crop"]
+                eligible = (len(shape) == 3 and shape[2] == 3
+                            and dtype == np.uint8
+                            and min(shape[0], shape[1]) == spec["resize"]
+                            and shape[0] >= crop and shape[1] >= crop)
+            if eligible:
+                keys = [self.keys[i] for i in idxs]
+                out = _batch_array_fast(get_batch(keys), spec)
+                if out is not None:
+                    if self._cache is not None:
+                        for j, i in enumerate(idxs):
+                            self._cache[i] = out[j]
+                    return out, keys
         keys, paths = [], []
         for i in idxs:
             key = self.keys[i]

@@ -104,6 +104,13 @@ class LazyHdf5Dict:
             raise KeyError(key)
         return self._open()[self._name][self._index_map[k]]
 
+    def item_spec(self):
+        """(per-item shape, dtype) from HDF5 metadata — cheap (no data
+        read), so loaders can decide whether the batched fast path will
+        accept the store BEFORE paying the bulk brick read."""
+        dset = self._open()[self._name]
+        return tuple(dset.shape[1:]), dset.dtype
+
     def get_batch(self, keys) -> "np.ndarray":
         """One h5py read for a whole batch of keys.
 

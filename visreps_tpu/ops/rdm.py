@@ -73,7 +73,6 @@ def upper_triangle(rdm: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
-@jax.jit
 def triangle_tie_count(rdm: jnp.ndarray) -> jnp.ndarray:
     """Number of exactly-tied adjacent values in the sorted upper
     triangle (0 ⇒ dense-rank Spearman ≡ scipy's average-tie Spearman).
@@ -81,8 +80,8 @@ def triangle_tie_count(rdm: jnp.ndarray) -> jnp.ndarray:
     Used to decide whether the sort-free bootstrap fast path is exact
     for a given RDM pair or whether the average-tie kernel is needed
     (clamp-induced ties — jnp.clip on degenerate rows — do occur).
-    Jitted: run eagerly, the gather + sort + compare are ~5 separate
-    relay dispatches per call."""
+    Jitted so the gather + sort + compare run as one dispatch instead
+    of ~5 separate relay round-trips per call."""
     t = upper_triangle(rdm)
     s = jnp.sort(t)
     return jnp.sum((s[1:] == s[:-1]).astype(jnp.int32))

@@ -54,6 +54,19 @@ def _make_matrix(seed: jnp.ndarray, d: int, k: int, density_q: float) -> jnp.nda
     return _sparse_sign_matrix(jax.random.PRNGKey(seed), d, k, density_q)
 
 
+@partial(jax.jit, static_argnames=("d", "k", "density_q"))
+def _make_matrix_chunk(seed: jnp.ndarray, chunk: jnp.ndarray, d: int, k: int,
+                       density_q: float) -> jnp.ndarray:
+    """Row-chunk ci of an oversize projection: the chunk key is
+    fold_in(PRNGKey(subseed), ci+1) — a hashed derivation whose streams
+    are disjoint from every PRNGKey(int) base stream, so a chunk can
+    never alias another tap dim's whole-matrix projection (the old
+    additive subseed+1_000_003·(ci+1) collided with the base subseed of
+    dim d+1_000_003·(ci+1) under the same seed)."""
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), chunk)
+    return _sparse_sign_matrix(key, d, k, density_q)
+
+
 @dataclass
 class SRPTransform:
     """Seeded sparse-sign JL projection D → k, applied on the MXU.
@@ -78,7 +91,8 @@ class SRPTransform:
         ViT-B's 1.24 GB compiles). Dims whose matrix fits stay ONE
         chunk, bit-identical to the unchunked build (same subseed →
         same matrix → same cached executables); oversize dims split
-        into equal row-chunks with per-chunk subseeds — entries remain
+        into equal row-chunks keyed by fold_in(PRNGKey(subseed), ci+1)
+        (streams disjoint from every base-dim stream) — entries remain
         i.i.d. from the same Achlioptas/Li family, and the projection
         is applied as a sum of chunked matmuls.
         """
@@ -95,8 +109,8 @@ class SRPTransform:
                 n_chunks = -(-(2 * d * k_eff) // (2**30))  # chunks ≤ 1 GB
                 rows = -(-d // n_chunks)
                 chunks = tuple(
-                    _make_matrix(
-                        jnp.uint32((subseed + 1_000_003 * (ci + 1)) % (2**31 - 1)),
+                    _make_matrix_chunk(
+                        jnp.uint32(subseed), jnp.uint32(ci + 1),
                         min(rows, d - start), k_eff, density)
                     for ci, start in enumerate(range(0, d, rows)))
             self._cache[key] = chunks

@@ -150,6 +150,36 @@ class TestDeviceResidentPath:
             assert abs(h["score"] - d["score"]) < 0.05
 
 
+class TestPhase2Retention:
+    """VERDICT r4 item 3: the bulk pass retains the shared-test rows'
+    exact bf16 taps, deleting phase 2's second pass; scores must match
+    the re-extraction path (bf16 tap rounding is the only delta)."""
+
+    def test_retained_matches_reextracted(self, eval_env):
+        base = dict(log_expdata=False, use_mesh=False,
+                    acts_store="device", uint8_transfer=True)
+        ret = evals.eval(_cfg(**base))                        # auto: on
+        assert evals.LAST_PHASE_TIMES.get("phase2_retained") == 1.0
+        ree = evals.eval(_cfg(**base, phase2_retain=False))
+        assert evals.LAST_PHASE_TIMES.get("phase2_retained") == 0.0
+        assert len(ret) == len(ree)
+        for a, b in zip(ret, ree):
+            assert a["layer"] == b["layer"]  # phase 1 is identical
+            np.testing.assert_allclose(a["score"], b["score"], atol=0.02)
+            np.testing.assert_allclose(
+                a["bootstrap_scores"], b["bootstrap_scores"], atol=0.05)
+
+    def test_reconstruct_from_pcs_falls_back(self, eval_env):
+        evals.eval(_cfg(log_expdata=False, use_mesh=False,
+                        acts_store="device", uint8_transfer=True,
+                        reconstruct_from_pcs=True, pca_k=2, bootstrap=False))
+        assert evals.LAST_PHASE_TIMES.get("phase2_retained") == 0.0
+
+    def test_host_store_falls_back(self, eval_env):
+        evals.eval(_cfg(log_expdata=False, use_mesh=False, bootstrap=False))
+        assert evals.LAST_PHASE_TIMES.get("phase2_retained") == 0.0
+
+
 class TestEvalEncoding:
     def test_encoding_path(self, eval_env):
         _, db_path = eval_env

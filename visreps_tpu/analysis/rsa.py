@@ -301,48 +301,75 @@ def compute_rsa(
     else:
         test_acts_flat = _flat(evaluation.activations[best_layer])
 
-    test_neural_rdm = compute_rdm(jnp.asarray(evaluation.neural))
-    test_model_rdm = compute_rdm(jnp.asarray(test_acts_flat))
-    point_estimate = compute_rdm_correlation(test_model_rdm, test_neural_rdm, correlation=method)
-    LAST_RSA_TIMES["point_score_s"] = round(_time.perf_counter() - _t, 1)
-    _t = _time.perf_counter()
-    if verbose:
-        rprint(f"  Test RSA = {point_estimate:.4f}", style="highlight")
-
-    # ── 3. Bootstrap CIs ────────────────────────────────────────
     ci_low = ci_high = None
     bootstrap_scores_list = None
     boot_exact = False
-    if bootstrap:
-        # The Spearman point score above is average-tie exact; keep the
-        # CI drawn from the SAME statistic when the triangles actually
-        # contain ties (else the sort-free dense-rank fast path is
-        # already identical).
-        if method == "spearman":
-            mode = cfg.get("bootstrap_exact_ties", "auto")
-            if mode == "auto":
-                from visreps_tpu.ops.rdm import triangle_tie_count
+    fused = (bootstrap and method == "spearman"
+             and cfg.get("bootstrap_exact_ties", "auto") is not False)
+    if fused:
+        # Model RDM + neural RDM + average-tie point score + bootstrap
+        # as ONE device program (VERDICT r4 item 6 — the r4 capture
+        # shows 26.9 s of separate point-score + 4.2 s of bootstrap
+        # dispatches on the THINGS branch). The grouped kernel is
+        # always average-tie exact, so no tie-detection round-trip.
+        from visreps_tpu.ops.bootstrap import single_pair_scoring
 
-                boot_exact = int(triangle_tie_count(test_model_rdm)
-                                 + triangle_tie_count(test_neural_rdm)) > 0
-            else:
-                boot_exact = bool(mode)
-        # The reference CONTINUES the selection RandomState into the
-        # bootstrap draws (visreps/analysis/rsa.py:166-171, 239-246) —
-        # generate the index sets from the same `rng` so the streams
-        # are bit-identical even when an n_select draw was consumed.
+        # Same rng-stream position as the unfused path: the reference
+        # CONTINUES the selection RandomState into the bootstrap draws
+        # (visreps/analysis/rsa.py:166-171, 239-246).
         n_sub = int(n_test * 0.9)
         indices = np.stack(
             [rng.choice(n_test, size=n_sub, replace=False)
              for _ in range(n_bootstrap)]).astype(np.int32)
-        boot = bootstrap_rdm_correlation(
-            test_model_rdm, test_neural_rdm,
-            n_bootstrap=n_bootstrap, seed=seed, method=method, mesh=mesh,
-            exact_ties=boot_exact, indices=indices,
-        )
+        boot, point_estimate = single_pair_scoring(
+            jnp.asarray(test_acts_flat), np.asarray(evaluation.neural),
+            indices, mesh=mesh)
+        boot_exact = True
         ci_low, ci_high = percentile_ci(boot)
         bootstrap_scores_list = boot.tolist()
-    LAST_RSA_TIMES["bootstrap_s"] = round(_time.perf_counter() - _t, 1)
+        LAST_RSA_TIMES["point_score_s"] = round(_time.perf_counter() - _t, 1)
+        LAST_RSA_TIMES["bootstrap_s"] = 0.0  # fused into point_score_s
+        LAST_RSA_TIMES["fused"] = 1.0
+    else:
+        test_neural_rdm = compute_rdm(jnp.asarray(evaluation.neural))
+        test_model_rdm = compute_rdm(jnp.asarray(test_acts_flat))
+        point_estimate = compute_rdm_correlation(test_model_rdm, test_neural_rdm, correlation=method)
+        LAST_RSA_TIMES["point_score_s"] = round(_time.perf_counter() - _t, 1)
+        _t = _time.perf_counter()
+        if verbose:
+            rprint(f"  Test RSA = {point_estimate:.4f}", style="highlight")
+
+        # ── 3. Bootstrap CIs ────────────────────────────────────────
+        if bootstrap:
+            # The Spearman point score above is average-tie exact; keep the
+            # CI drawn from the SAME statistic when the triangles actually
+            # contain ties (else the sort-free dense-rank fast path is
+            # already identical).
+            if method == "spearman":
+                mode = cfg.get("bootstrap_exact_ties", "auto")
+                if mode == "auto":
+                    from visreps_tpu.ops.rdm import triangle_tie_count
+
+                    boot_exact = int(triangle_tie_count(test_model_rdm)
+                                     + triangle_tie_count(test_neural_rdm)) > 0
+                else:
+                    boot_exact = bool(mode)
+            # The reference CONTINUES the selection RandomState into the
+            # bootstrap draws (visreps/analysis/rsa.py:166-171, 239-246) —
+            # generate the index sets from the same `rng` so the streams
+            # are bit-identical even when an n_select draw was consumed.
+            n_sub = int(n_test * 0.9)
+            indices = np.stack(
+                [rng.choice(n_test, size=n_sub, replace=False)
+                 for _ in range(n_bootstrap)]).astype(np.int32)
+            boot = bootstrap_rdm_correlation(
+                test_model_rdm, test_neural_rdm,
+                n_bootstrap=n_bootstrap, seed=seed, method=method, mesh=mesh,
+                exact_ties=boot_exact, indices=indices,
+            )
+            ci_low, ci_high = percentile_ci(boot)
+            bootstrap_scores_list = boot.tolist()
+        LAST_RSA_TIMES["bootstrap_s"] = round(_time.perf_counter() - _t, 1)
 
     msg = f"  {method.capitalize():<10}| {best_layer} = {point_estimate:.4f}"
     if bootstrap:

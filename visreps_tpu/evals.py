@@ -260,7 +260,23 @@ def eval(cfg: Config, mesh=None):
         n_store = len(retain) if retain is not None else len(stimuli)
         est_bytes = 2 * n_store * sum(extractor.out_dims().values())
         store = "device" if (_jax.default_backend() != "cpu" and est_bytes < 9e9) else "host"
-    acts, ids = extractor.get_activations(dl, store=store, retain_ids=retain)
+    # Phase-2 test-row retention (VERDICT r4 item 3): keep the shared
+    # test stimuli's exact bf16 taps during the bulk pass so phase 2
+    # never re-reads / re-uploads / re-forwards them (~0.9 GB at NSD
+    # scale, beside the 8.4 GB SRP store). reconstruct_from_pcs needs
+    # raw f32 taps on host, and HBM-tight configs can force it off
+    # with phase2_retain=false; both fall back to re-extraction.
+    exact_ids = None
+    if analysis == "rsa" and store == "device" and retain is None \
+            and not cfg.get("reconstruct_from_pcs"):
+        mode = cfg.get("phase2_retain", "auto")
+        test_order = [sid for sid in all_data["shared_test_ids"]
+                      if sid in stimuli]
+        est_exact = 2 * len(test_order) * sum(extractor.tap_dims.values())
+        if (mode if mode != "auto" else est_exact < 2e9) and test_order:
+            exact_ids = test_order
+    acts, ids = extractor.get_activations(
+        dl, store=store, retain_ids=retain, exact_retain_ids=exact_ids)
     # SRP matrices are no longer needed (phase 2 re-extracts exact
     # single layers); at 73k device-store scale their ~3.7 GB of HBM is
     # the difference between fitting and OOM on a 16 GB chip.
@@ -594,13 +610,17 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
 
         boot_indices = bootstrap_indices(len(shared_test_ids), n_bootstrap, seed=42)
     pair_list = [(r, s) for r in regions for s in subjects]
+    # The grouped one-program path runs under a multi-device mesh too:
+    # grouped_scoring shards the bootstrap-iteration axis over 'data'
+    # (VERDICT r4 item 2 — the v5e-8 target machine must not fall back
+    # to the ~50-dispatch per-pair path the one-chip build eliminated).
     use_grouped = (bootstrap and method == "spearman"
                    and boot_indices is not None
-                   and cfg.get("bootstrap_exact_ties", "auto") is not False
-                   and (mesh is None or mesh.shape.get("data", 1) == 1))
+                   and cfg.get("bootstrap_exact_ties", "auto") is not False)
+    single_dev = mesh is None or mesh.shape.get("data", 1) == 1
     scoring_plan: list = [None]
     plan_thread = None
-    if use_grouped:
+    if use_grouped and single_dev:
         import threading
 
         n_layers_sel = len({per_region_layers[r][s] for r, s in pair_list})
@@ -623,53 +643,80 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
         plan_thread = threading.Thread(target=_precompile, daemon=True)
         plan_thread.start()
 
-    # ── Phase 2: exact re-extraction on shared test stimuli ────
+    # ── Phase 2: exact taps on shared test stimuli ─────────────
     rprint("\n  Phase 2: Test evaluation", style="info")
-    test_stimuli = {sid: stimuli[sid] for sid in shared_test_ids if sid in stimuli}
-    transform = get_transform("imgnet")
-    # Phase 2 runs full-resolution (no SRP) taps: at batch 512 the live
-    # f32 tap set is ~2 GB per program and the fused concat/trim tails
-    # slow ~4x (measured 70 s vs 15 s on a 16 GB chip). H2D is not the
-    # bottleneck here (1k stimuli), so cap the re-extraction batch.
-    dl_test = make_stimuli_loader(test_stimuli, transform,
-                                  min(int(cfg.batchsize), 256),
-                                  cfg.get("num_workers", 16))
-    rprint(f"  Test dataloader: {len(test_stimuli)} stimuli", style="success")
+    import jax as _jax
 
     unique_layers = sorted({l for rl in per_region_layers.values() for l in rl.values()})
     pca_k = cfg.get("pca_k", 1)
-    # One pass over the test stimuli computes every unique selected
-    # layer (reference re-extracts per layer, evals.py:286-301 — that
-    # multiplies the host decode + H2D cost by the layer count).
-    rprint(f"  Re-extracting {len(unique_layers)} unique layers (one pass)...",
-           style="info")
-    import jax as _jax
-
-    exact_store = "device" if _jax.default_backend() != "cpu" else "host"
-    exact_all, _ = extractor.extract_layers_exact(
-        dl_test, unique_layers, shared_test_ids, store=exact_store,
-        batch_size=min(int(cfg.batchsize), 256))
     sharded_rdm = (mesh is not None and
                    len(shared_test_ids) >= cfg.get("rdm_shard_threshold", 4096))
-    if not cfg.get("reconstruct_from_pcs") and not sharded_rdm:
-        # All per-layer RDMs in ONE program: each is a trivial matmul
-        # (N² × D on the MXU), so the per-layer dispatch round-trips —
-        # not the FLOPs — dominate through a relay-attached host.
-        # (No donation: the (n, n) outputs cannot alias the big f32
-        # inputs, so XLA rejects it — freeing happens at exact_all={}.)
-        model_rdms = _jax.jit(
-            lambda d: {k: compute_rdm(v) for k, v in d.items()})(exact_all)
-        exact_all = {}
+
+    test_order = [sid for sid in shared_test_ids if sid in stimuli]
+    retained = getattr(extractor, "exact_store", None)
+    use_retained = (retained is not None
+                    and not cfg.get("reconstruct_from_pcs")
+                    and extractor.exact_ids == test_order
+                    and all(l in retained for l in unique_layers))
+    if use_retained:
+        # The bulk pass already kept the shared-test rows' exact bf16
+        # taps (VERDICT r4 item 3) — no second pass over the stimuli:
+        # drop the unselected taps, build every RDM in one program.
+        rprint(
+            f"  Using retained exact taps for {len(unique_layers)} layers "
+            f"({len(test_order)} test stimuli, no second pass)",
+            style="success")
+        exact_all = {l: retained[l] for l in unique_layers}
+        extractor.exact_store = None  # free the ~12 unselected taps
+        del retained
+        if sharded_rdm:
+            model_rdms = {l: _rdm(exact_all.pop(l), mesh, cfg)
+                          for l in unique_layers}
+        else:
+            model_rdms = _jax.jit(
+                lambda d: {k: compute_rdm(v) for k, v in d.items()})(exact_all)
+            exact_all = {}
     else:
-        model_rdms = {}
-        for layer in unique_layers:
-            exact_acts = exact_all.pop(layer)
-            if cfg.get("reconstruct_from_pcs"):
-                exact_acts = np.asarray(reconstruct_from_pcs({layer: exact_acts}, pca_k)[layer])
-                rprint(f"    Reconstructed from {pca_k} PCs", style="info")
-            model_rdms[layer] = _rdm(exact_acts, mesh, cfg)
-            del exact_acts
+        test_stimuli = {sid: stimuli[sid] for sid in shared_test_ids if sid in stimuli}
+        transform = get_transform("imgnet")
+        # Phase 2 runs full-resolution (no SRP) taps: at batch 512 the
+        # live f32 tap set is ~2 GB per program and the fused
+        # concat/trim tails slow ~4x (measured 70 s vs 15 s on a 16 GB
+        # chip). H2D is not the bottleneck here (1k stimuli), so cap
+        # the re-extraction batch.
+        dl_test = make_stimuli_loader(test_stimuli, transform,
+                                      min(int(cfg.batchsize), 256),
+                                      cfg.get("num_workers", 16))
+        rprint(f"  Test dataloader: {len(test_stimuli)} stimuli", style="success")
+        # One pass over the test stimuli computes every unique selected
+        # layer (reference re-extracts per layer, evals.py:286-301 — that
+        # multiplies the host decode + H2D cost by the layer count).
+        rprint(f"  Re-extracting {len(unique_layers)} unique layers (one pass)...",
+               style="info")
+        exact_store = "device" if _jax.default_backend() != "cpu" else "host"
+        exact_all, _ = extractor.extract_layers_exact(
+            dl_test, unique_layers, shared_test_ids, store=exact_store,
+            batch_size=min(int(cfg.batchsize), 256))
+        if not cfg.get("reconstruct_from_pcs") and not sharded_rdm:
+            # All per-layer RDMs in ONE program: each is a trivial matmul
+            # (N² × D on the MXU), so the per-layer dispatch round-trips —
+            # not the FLOPs — dominate through a relay-attached host.
+            # (No donation: the (n, n) outputs cannot alias the big f32
+            # inputs, so XLA rejects it — freeing happens at exact_all={}.)
+            model_rdms = _jax.jit(
+                lambda d: {k: compute_rdm(v) for k, v in d.items()})(exact_all)
+            exact_all = {}
+        else:
+            model_rdms = {}
+            for layer in unique_layers:
+                exact_acts = exact_all.pop(layer)
+                if cfg.get("reconstruct_from_pcs"):
+                    exact_acts = np.asarray(reconstruct_from_pcs({layer: exact_acts}, pca_k)[layer])
+                    rprint(f"    Reconstructed from {pca_k} PCs", style="info")
+                model_rdms[layer] = _rdm(exact_acts, mesh, cfg)
+                del exact_acts
     LAST_PHASE_TIMES["phase2_extract_s"] = _time.perf_counter() - _t0
+    LAST_PHASE_TIMES["phase2_retained"] = float(use_retained)
     _t0 = _time.perf_counter()
 
     # ── Per-(region, subject) scoring + save ───────────────────
@@ -679,9 +726,10 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
     # but 48 serialized host syncs dominate on relay-attached hosts.
     # Bootstrap index sets are identical across pairs (same n, seed 42
     # per the protocol), so they are generated once.
-    # The common case — Spearman bootstrap on one chip with the shared
-    # protocol index sets — runs the WHOLE scoring phase in ONE device
-    # program (ops/bootstrap.grouped_scoring): per-pair neural RDM
+    # The common case — Spearman bootstrap with the shared protocol
+    # index sets — runs the WHOLE scoring phase in ONE device program
+    # (ops/bootstrap.grouped_scoring; under a multi-device mesh the
+    # iteration axis shards over 'data'): per-pair neural RDM
     # triangles, full-triangle average-tie point scores, and the
     # grouped bootstrap (per-iteration selection masks shared across
     # pairs, per-layer rank passes shared across the pairs that
@@ -707,7 +755,7 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
         boot_by_pair, point_of_pair = grouped_scoring(
             model_rdms, neural_mats,
             {(r, s): per_region_layers[r][s] for r, s in pair_list},
-            boot_indices, plan=scoring_plan[0])
+            boot_indices, plan=scoring_plan[0], mesh=mesh)
         del neural_mats
     else:
         # Fallback (other methods, sharded bootstrap, forced dense
@@ -923,8 +971,7 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh=None) -> List[
 
     use_grouped = (bootstrap and method == "spearman"
                    and boot_indices is not None
-                   and cfg.get("bootstrap_exact_ties", "auto") is not False
-                   and (mesh is None or mesh.shape.get("data", 1) == 1))
+                   and cfg.get("bootstrap_exact_ties", "auto") is not False)
     boot_by_pair = None
     neural_rdms = None
     if use_grouped:
@@ -937,7 +984,7 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh=None) -> List[
         boot_by_pair, point_of_pair = grouped_scoring(
             model_rdms, neural_mats,
             {(r, s): best_layers[r][s] for r, s in pair_list},
-            boot_indices)
+            boot_indices, mesh=mesh)
         del neural_mats
     else:
         from visreps_tpu.ops.rdm import compute_rdm_correlation_batched

@@ -124,7 +124,7 @@ class FeatureExtractor:
         norm_mean = jnp.asarray(DS_MEAN["imgnet"])
         norm_std = jnp.asarray(DS_STD["imgnet"])
 
-        def _srp_body(variables, proj, x, out_bf16=False):
+        def _flat_taps(variables, x):
             if x.dtype == jnp.uint8:
                 # uint8 transfer path: 4x less host→device bandwidth;
                 # normalization folds into the first device op.
@@ -136,9 +136,13 @@ class FeatureExtractor:
                 )
                 x = x.astype(jnp.bfloat16)
             _, taps = module.apply(variables, x, train=False, capture=points)
+            return {p: taps[p].reshape(taps[p].shape[0], -1) for p in points}
+
+        def _srp_body(variables, proj, x, out_bf16=False):
+            flats = _flat_taps(variables, x)
             out = {}
             for p in points:
-                flat = taps[p].reshape(taps[p].shape[0], -1)
+                flat = flats[p]
                 # proj is keyed by INPUT DIM, not tap name: taps sharing
                 # a dim share one projection argument. Passing the same
                 # matrix once per tap made the AOT compiler account it
@@ -156,6 +160,25 @@ class FeatureExtractor:
 
         self._srp_step = partial(jax.jit, static_argnames=("out_bf16",))(_srp_body)
 
+        def _srp_body_exact(variables, proj, x, keep, out_bf16=False):
+            # Same forward + SRP, ADDITIONALLY gathering the exact
+            # (full-resolution, no-SRP) tap rows of the `keep` indices
+            # as bf16 — phase-2 test-row retention (VERDICT r4 item 3):
+            # the ~1k shared-test rows are kept during the bulk pass so
+            # the eval never re-reads / re-uploads / re-forwards them.
+            flats = _flat_taps(variables, x)
+            out, exact = {}, {}
+            for p in points:
+                flat = flats[p]
+                exact[alias[p]] = jnp.take(
+                    flat, keep, axis=0).astype(jnp.bfloat16)
+                o = srp_apply_chunked(flat, proj[str(flat.shape[1])])
+                out[alias[p]] = o.astype(jnp.bfloat16) if out_bf16 else o
+            return out, exact
+
+        self._srp_step_exact = partial(
+            jax.jit, static_argnames=("out_bf16",))(_srp_body_exact)
+
         @partial(jax.jit, static_argnames=("out_bf16",))
         def _srp_step_super(variables, proj, xs, out_bf16=False):
             # K stacked batches per dispatch: lax.map keeps the live tap
@@ -170,6 +193,36 @@ class FeatureExtractor:
             return {name: o.reshape(-1, o.shape[-1]) for name, o in outs.items()}
 
         self._srp_step_super = _srp_step_super
+
+        @partial(jax.jit, static_argnames=("out_bf16",))
+        def _srp_step_super_exact(variables, proj, xs, keeps, out_bf16=False):
+            # Super-batched twin of _srp_body_exact: keeps is (K, max_k)
+            # per-sub-batch row indices (zero-padded; pads target the
+            # exact store's dump row downstream). The (K, max_k, D)
+            # exact gathers stay at single-sub-batch live size inside
+            # the lax.map and flatten to (K·max_k, D) for the scatter.
+            def one(args):
+                x, keep = args
+                return _srp_body_exact(variables, proj, x, keep, out_bf16)
+
+            outs, exact = jax.lax.map(one, (xs, keeps))
+            return (
+                {name: o.reshape(-1, o.shape[-1]) for name, o in outs.items()},
+                {name: e.reshape(-1, e.shape[-1]) for name, e in exact.items()},
+            )
+
+        self._srp_step_super_exact = _srp_step_super_exact
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _exact_write(store, rows, dst):
+            # Scatter one group's retained exact tap rows into the
+            # preallocated (n_exact + 1, D) per-tap store; padded slots
+            # carry dst = n_exact (the dump row). Donated, its own tiny
+            # program — same split-program rationale as _store_write.
+            return {name: store[name].at[dst].set(rows[name])
+                    for name in store}
+
+        self._exact_write = _exact_write
 
         @partial(jax.jit, donate_argnums=(0,))
         def _store_write(store, outs, offset):
@@ -365,9 +418,67 @@ class FeatureExtractor:
         finally:
             ex.shutdown(wait=True)
 
+    def _exact_retain_plan(self, loader, exact_retain_ids, k_super: int):
+        """Host-side plan for phase-2 test-row retention.
+
+        Extraction order is the dataset's sorted-key order; knowing it
+        (plus the batch/superbatch geometry) BEFORE extraction fixes a
+        single static kept-rows-per-sub-batch shape (max_k), so ONE
+        compiled forward program serves every group. Returns
+        (keeps (G, K, max_k) int32 within-sub-batch row indices,
+        dsts (G, K*max_k) int32 target rows in the exact store —
+        padded slots point at the dump row n_exact,
+        order (the expected full id sequence), exact_ids) or None when
+        the loader's order is unknowable or nothing matches.
+        """
+        ds = getattr(loader, "dataset", None)
+        keys_sorted = getattr(ds, "keys", None)
+        if not keys_sorted:
+            return None
+        order = [str(k) for k in keys_sorted]
+        want_rank = {}
+        for sid in exact_retain_ids:
+            s = str(sid)
+            if s not in want_rank:
+                want_rank[s] = len(want_rank)
+        present = [s for s in order if s in want_rank]
+        if not present:
+            return None
+        # final store row of each retained id = its rank in
+        # exact_retain_ids order (the order phase 2 scores in)
+        ranks = sorted(want_rank[s] for s in present)
+        row_of_rank = {r: i for i, r in enumerate(ranks)}
+        n_exact = len(present)
+
+        b = self.batch_size
+        group = k_super * b
+        n_groups = -(-len(order) // group)
+        kept: list[list[list[tuple[int, int]]]] = [
+            [[] for _ in range(k_super)] for _ in range(n_groups)]
+        for pos, s in enumerate(order):
+            if s not in want_rank:
+                continue
+            g, rem = divmod(pos, group)
+            j, i = divmod(rem, b)
+            kept[g][j].append((i, row_of_rank[want_rank[s]]))
+        max_k = max((len(sub) for grp in kept for sub in grp), default=0)
+        max_k = max(1, max_k)
+        keeps = np.zeros((n_groups, k_super, max_k), np.int32)
+        dsts = np.full((n_groups, k_super, max_k), n_exact, np.int32)
+        for g, grp in enumerate(kept):
+            for j, sub in enumerate(grp):
+                for slot, (i, dst) in enumerate(sub):
+                    keeps[g, j, slot] = i
+                    dsts[g, j, slot] = dst
+        exact_ids = [None] * n_exact
+        for s in present:
+            exact_ids[row_of_rank[want_rank[s]]] = s
+        return keeps, dsts.reshape(n_groups, -1), order, exact_ids
+
     # ── bulk extraction with SRP ─────────────────────────────────
     def get_activations(self, loader: Iterable, total: int | None = None,
-                        store: str = "host", retain_ids=None):
+                        store: str = "host", retain_ids=None,
+                        exact_retain_ids=None):
         """All-tap SRP activations over a loader of (batch, keys).
 
         store="host": ({name: np.float32 (N, k)}, ids) — the reference
@@ -391,11 +502,23 @@ class FeatureExtractor:
         and through a remote-compile relay those ~100 synchronous
         compiles dominate the whole extraction) and compacts the padded
         store with ONE final gather.
+        exact_retain_ids: optional ORDERED list of stimulus ids whose
+        EXACT (full-resolution, no-SRP) tap rows are additionally kept
+        on device as bf16, scatter-written into a preallocated
+        (n_exact, D) per-tap store during the same forward pass —
+        deleting the RSA eval's phase-2 re-extraction of the shared
+        test stimuli (VERDICT r4 item 3; the reference re-extracts per
+        layer, visreps/models/utils.py:350-404). Only available on the
+        device-store fast path with an order-knowable loader; the
+        result lands in ``self.exact_store`` / ``self.exact_ids``
+        (None when unavailable — callers fall back to re-extraction).
         """
         import os
         import time as _time
 
         _t0 = _time.perf_counter()
+        self.exact_store = None
+        self.exact_ids = None
         proj = self._proj_dict()
         dims = self.out_dims()
         chunks: dict[str, list] = {name: [] for name in dims}
@@ -459,11 +582,24 @@ class FeatureExtractor:
                 n_total = None
         if (store == "device" and retain_ids is None and n_total
                 and os.environ.get("VISREPS_STORE_UPDATE", "1") != "0"):
+            exact_plan = None
+            if exact_retain_ids:
+                exact_plan = self._exact_retain_plan(
+                    loader, exact_retain_ids, k_super)
+            exact_store = None
+            if exact_plan is not None:
+                keeps_all, dsts_all, plan_order, plan_ids = exact_plan
+                n_exact = len(plan_ids)
+                # +1 dump row for the zero-padded kept slots
+                exact_store = {
+                    name: jnp.zeros((n_exact + 1, d), jnp.bfloat16)
+                    for name, d in self.tap_dims.items()}
             group = k_super * self.batch_size
             n_pad = -(-n_total // group) * group
             acts = {name: jnp.zeros((n_pad, d), jnp.bfloat16)
                     for name, d in dims.items()}
             offset = 0
+            g_idx = 0
             short_seen = False
             for xd, keys, n in self._device_feed(loader, superbatch=k_super):
                 rows = group if k_super > 1 else self.batch_size
@@ -482,12 +618,41 @@ class FeatureExtractor:
                 if len(valid) < rows:
                     short_seen = True
                 ids.extend(valid)
-                out = _step(xd)  # counts its own dispatch_s
+                if exact_store is not None:
+                    t = _time.perf_counter()
+                    if xd.ndim == 5:
+                        out, ex = self._srp_step_super_exact(
+                            self.state.variables, proj, xd,
+                            jnp.asarray(keeps_all[g_idx]), out_bf16=True)
+                    else:
+                        out, ex = self._srp_step_exact(
+                            self.state.variables, proj, xd,
+                            jnp.asarray(keeps_all[g_idx, 0]), out_bf16=True)
+                    exact_store = self._exact_write(
+                        exact_store, ex, jnp.asarray(dsts_all[g_idx]))
+                    dispatch_s += _time.perf_counter() - t
+                else:
+                    out = _step(xd)  # counts its own dispatch_s
                 t = _time.perf_counter()
                 acts = self._store_write(acts, out, offset)
                 dispatch_s += _time.perf_counter() - t
                 offset += rows
+                g_idx += 1
             del proj
+            if exact_store is not None:
+                if ids == plan_order:
+                    # Drop the dump row in one program; the store is in
+                    # exact_retain_ids order by construction.
+                    self.exact_store = jax.jit(
+                        lambda d: {k: v[:n_exact] for k, v in d.items()}
+                    )(exact_store)
+                    self.exact_ids = plan_ids
+                else:
+                    rprint(
+                        "Warning: loader order diverged from the exact-"
+                        "retention plan — discarding retained taps "
+                        "(phase 2 will re-extract)", style="warning")
+                del exact_store
             _t1 = _time.perf_counter()
             jax.block_until_ready(list(acts.values()))
             self.last_extract_times = {

@@ -338,6 +338,39 @@ _grouped_scoring = jax.jit(
     _grouped_scoring_body, static_argnames=("chunk", "n"))
 
 
+def _grouped_scoring_sharded(model_rdm_list, neural_mats, pair_model, idx,
+                             chunk: int, n: int, mesh):
+    """grouped_scoring with the bootstrap-ITERATION axis sharded over
+    the mesh's 'data' axis (VERDICT r4 item 2).
+
+    Same shape as _bootstrap_sharded: RDMs / response matrices / the
+    tie-segment prep replicate (one broadcast over ICI), each device
+    runs the single-chip _grouped_scoring_body on its slice of the
+    (B, m_sub) index sets, and the (P, B) score matrix concatenates
+    along the iteration axis — bit-equal per iteration to the
+    single-device program since every iteration is independent. Point
+    scores depend only on replicated inputs and come back unmapped.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ndev = mesh.shape["data"]
+    B = idx.shape[0]
+    pad = (-B) % ndev
+    idx_p = np.concatenate([idx, idx[:pad]]) if pad else np.asarray(idx)
+    local = idx_p.shape[0] // ndev
+    body = partial(_grouped_scoring_body,
+                   chunk=max(1, min(chunk, local)), n=n)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data", None)),
+        out_specs=(P(None, "data"), P()),
+    )
+    scores, points = jax.jit(fn)(
+        model_rdm_list, neural_mats, pair_model, jnp.asarray(idx_p))
+    return scores[:, :B], points
+
+
 def grouped_scoring_plan(n_layers: int, voxel_widths, n: int,
                          n_bootstrap: int, n_sub: int, chunk: int = 128):
     """AOT-compile the grouped scoring program for a known signature.
@@ -367,6 +400,7 @@ def grouped_scoring(
     indices: np.ndarray,
     chunk: int = 128,
     plan=None,
+    mesh=None,
 ):
     """Whole scoring phase for every pair as ONE device program.
 
@@ -377,7 +411,9 @@ def grouped_scoring(
     the full-triangle average-tie Spearman point scores, and the
     grouped bootstrap all run inside the same program. Always
     average-tie exact (== dense ranks on tie-free values, scipy-exact
-    on ties).
+    on ties). Under a multi-device ``mesh`` the bootstrap-iteration
+    axis shards over 'data' (results identical — iterations are
+    independent); ``plan`` only applies single-device.
     """
     pair_keys = list(pair_neural_mats)
     layers = sorted({pair_layer[k] for k in pair_keys})
@@ -390,10 +426,22 @@ def grouped_scoring(
         tuple(jnp.asarray(model_rdms[l], jnp.float32) for l in layers),
         tuple(jnp.asarray(pair_neural_mats[k], jnp.float32) for k in pair_keys),
         jnp.asarray(pair_model), jnp.asarray(indices))
-    if plan is not None:
+    ndev = mesh.shape.get("data", 1) if mesh is not None else 1
+    if ndev > 1 and len(indices) >= ndev:
+        scores_dev, points_dev = _grouped_scoring_sharded(
+            args[0], args[1], args[2], np.asarray(indices), chunk, n, mesh)
+    elif plan is not None:
         try:
             scores_dev, points_dev = plan(*args)
-        except Exception:  # signature drift → normal jit path
+        except Exception as e:  # signature drift → normal jit path
+            from visreps_tpu.core.logging import rprint
+
+            rprint(
+                "Warning: grouped_scoring discarded its AOT plan "
+                f"({type(e).__name__}: {e}) — recompiling via the normal "
+                "jit path (the ~75 s relay compile wall returns)",
+                style="warning",
+            )
             scores_dev, points_dev = _grouped_scoring(*args, chunk, n)
     else:
         scores_dev, points_dev = _grouped_scoring(*args, chunk, n)
@@ -401,6 +449,52 @@ def grouped_scoring(
     points = np.asarray(points_dev, dtype=np.float64)
     return ({k: scores[i] for i, k in enumerate(pair_keys)},
             {k: float(points[i]) for i, k in enumerate(pair_keys)})
+
+
+def _single_pair_scoring_body(model_acts, neural_acts, idx, chunk: int, n: int):
+    """Model RDM + neural RDM + average-tie point score + bootstrap for
+    ONE pair, fused from the raw ACTIVATION matrices.
+
+    The THINGS branch (and any compute_rsa caller) scored via separate
+    RDM-build, point-score and bootstrap programs — ~4 dispatches and
+    a fresh compile each, 26.9 s of point score + 4.2 s of bootstrap in
+    the r4 capture (VERDICT r4 item 6; reference loops scipy,
+    visreps/evals.py:94-155). Here everything from the (n, d)/(n, v)
+    inputs to the (B,) bootstrap scores is one program (L = P = 1 of
+    _grouped_core)."""
+    from visreps_tpu.ops.rdm import compute_rdm
+
+    iu, ju = jnp.triu_indices(n, k=1)
+    model_tris = compute_rdm(model_acts)[iu, ju][None]
+    neural_tris = compute_rdm(neural_acts)[iu, ju][None]
+    return _grouped_core(model_tris, neural_tris, (0,), idx, chunk, n)
+
+
+_single_pair_scoring = jax.jit(
+    _single_pair_scoring_body, static_argnames=("chunk", "n"))
+
+
+def single_pair_scoring(model_acts, neural_acts, indices, chunk: int = 128,
+                        mesh=None):
+    """One-dispatch scoring of a single (model, neural) pair: returns
+    ((B,) float64 average-tie Spearman bootstrap scores, float
+    average-tie Spearman point score). Under a multi-device mesh the
+    iteration axis shards over 'data' (identical results)."""
+    model_acts = jnp.asarray(model_acts)
+    neural_acts = jnp.asarray(neural_acts, jnp.float32)
+    n = model_acts.shape[0]
+    ndev = mesh.shape.get("data", 1) if mesh is not None else 1
+    if ndev > 1 and len(indices) >= ndev:
+        from visreps_tpu.ops.rdm import compute_rdm
+
+        scores_dev, points_dev = _grouped_scoring_sharded(
+            (compute_rdm(model_acts),), (neural_acts,),
+            jnp.zeros((1,), jnp.int32), np.asarray(indices), chunk, n, mesh)
+    else:
+        scores_dev, points_dev = _single_pair_scoring(
+            model_acts, neural_acts, jnp.asarray(indices), chunk, n)
+    return (np.asarray(scores_dev, np.float64)[0],
+            float(np.asarray(points_dev)[0]))
 
 
 def bootstrap_rdm_correlation_grouped(

@@ -22,6 +22,52 @@ class TestStages:
         out = stages.stage_ridge(n=60, d=8, v=4)
         assert out["ridge_cv_s"] > 0
 
+    def test_rdm_stage_reports_roofline(self):
+        """VERDICT r4 item 7: kernel stages carry achieved-TFLOP/s and
+        %-of-v5e-bf16-peak fields."""
+        out = stages.stage_rdm(n=64, d=32)
+        assert "rdm_tflops" in out and "rdm_mfu" in out
+        assert 0 <= out["rdm_mfu"] <= 1
+
+    def test_train_stage_reports_roofline_and_bf16_runs(self):
+        out = stages.stage_train(batch_size=2, iters=1)
+        assert out["compute_dtype"] == "f32"
+        assert "train_step_mfu" in out  # cost_analysis available on CPU
+        out16 = stages.stage_train(batch_size=2, iters=1, compute_dtype="bf16")
+        assert out16["compute_dtype"] == "bf16"
+        assert np.isfinite(out16["train_images_per_sec"])
+
+    def test_bf16_train_step_keeps_f32_master_state(self):
+        """bf16 compute must not leak into params / BN running stats
+        (donated buffers must keep their dtype across steps)."""
+        import jax
+        import jax.numpy as jnp
+
+        from visreps_tpu.core.config import Config
+        from visreps_tpu.models.zoo import init_model
+        from visreps_tpu.train.optim import setup_optimizer
+        from visreps_tpu.train.trainer import make_train_step
+
+        cfg = Config({"optimizer": "adamw", "learning_rate": 1e-3,
+                      "weight_decay": 1e-3, "grad_clip": 1.0,
+                      "lr_scheduler": "cosineannealinglr",
+                      "num_epochs": 2, "warmup_epochs": 1})
+        state = init_model("TinyCustomCNN", 8, seed=0, input_size=64)
+        tx, _ = setup_optimizer(state.params, cfg, steps_per_epoch=2)
+        step = make_train_step(state.module, tx, compute_dtype="bf16")
+        opt = tx.init(state.params)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64, 3))
+        y = jnp.arange(4) % 8
+        params, stats = state.params, state.batch_stats
+        for _ in range(2):  # second step re-donates: dtypes must hold
+            params, stats, opt, loss, gn = step(
+                params, stats, opt, x, y, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss)) and np.isfinite(float(gn))
+        for leaf in jax.tree_util.tree_leaves(params):
+            assert leaf.dtype != jnp.bfloat16
+        for leaf in jax.tree_util.tree_leaves(stats):
+            assert leaf.dtype == jnp.float32
+
     def test_extract_stage_small(self):
         out = stages.stage_extract(
             batch_size=2, iters=1, model="TinyCustomCNN", srp_k=64,

@@ -203,3 +203,59 @@ class TestCrossModelRDMCLI:
                     jnp.asarray(rdms_a[ka]), jnp.asarray(rdms_b[kb]),
                     correlation="spearman")
                 np.testing.assert_allclose(mat[i, j], ref, atol=1e-5)
+
+
+class TestConvertedTowerCache:
+    """VERDICT r4 item 5: converted (torch→flax) tower weights persist
+    in a disk cache so zero-egress hosts can run pretrained towers
+    without the HF hub; the bench stage degrades LOUDLY otherwise."""
+
+    def test_roundtrip_without_transformers(self, tmp_path, monkeypatch):
+        import pickle
+
+        import jax
+        import numpy as np
+
+        from visreps_tpu.models import hf_vit
+
+        monkeypatch.setenv("VISREPS_TOWER_CACHE", str(tmp_path))
+        kwargs = dict(hidden=16, num_layers=1, heads=2, mlp_dim=32,
+                      patch=16, eps=1e-5, projection_dim=8)
+        module = hf_vit.CLIPVisionTower(**kwargs)
+        params = module.init(jax.random.PRNGKey(0),
+                             np.zeros((1, 32, 32, 3), np.float32))["params"]
+        path = hf_vit._converted_cache_path("clip", 32)
+        import os
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump({"params": jax.tree_util.tree_map(np.asarray, params),
+                         "module_kwargs": kwargs}, f)
+
+        assert hf_vit.converted_tower_available("clip-vit-l14", 32)
+        state = hf_vit.load_tower("clip-vit-l14", pretrained=True,
+                                  image_size=32)
+        assert state.module.hidden == 16
+        ref = jax.tree_util.tree_leaves(params)
+        got = jax.tree_util.tree_leaves(state.params)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_unavailable_without_cache(self, tmp_path, monkeypatch):
+        from visreps_tpu.models import hf_vit
+
+        monkeypatch.setenv("VISREPS_TOWER_CACHE", str(tmp_path / "empty"))
+        # zero-egress box: no HF hub cache either
+        assert not hf_vit.converted_tower_available("dinov2-l14", 224)
+
+    def test_stage_marks_weights_unavailable(self, tmp_path, monkeypatch,
+                                             capsys):
+        from visreps_tpu.benchmarks import stages
+
+        monkeypatch.setenv("VISREPS_TOWER_CACHE", str(tmp_path / "empty"))
+        out = stages.stage_cross_model(
+            n_images=6, batch_size=3, srp_k=16,
+            models=["AlexNet", "clip-vit-l14"], tiny_towers=True)
+        assert out["pretrained_weights"] is False
+        assert out["weights_unavailable"] is True
+        assert "RANDOM" in capsys.readouterr().out

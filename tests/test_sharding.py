@@ -219,6 +219,43 @@ class TestShardedGroupedScoring:
             np.testing.assert_allclose(boot_m[k], boot_s[k], atol=1e-5)
 
 
+class TestMeshEncoding:
+    """VERDICT r4 item 4: row-sharded encoding inputs must reproduce
+    the single-device numbers on IDENTICAL inputs (GSPMD partitions
+    the Gram/eigh/CV programs; XLA inserts the psums)."""
+
+    def test_subject_scores_match(self, rng, mesh8):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from visreps_tpu.analysis.encoding import compute_encoding_scores_subject
+
+        n_tr, n_te, d = 32, 16, 8
+        acts_tr = {f"t{i}": rng.randn(n_tr, d).astype(np.float32)
+                   for i in range(2)}
+        acts_te = {f"t{i}": rng.randn(n_te, d).astype(np.float32)
+                   for i in range(2)}
+        w = rng.randn(d, 6).astype(np.float32)
+        y_tr = {"r": acts_tr["t1"] @ w + 0.1 * rng.randn(n_tr, 6).astype(np.float32)}
+        y_te = {"r": acts_te["t1"] @ w + 0.1 * rng.randn(n_te, 6).astype(np.float32)}
+
+        single = compute_encoding_scores_subject(
+            acts_tr, acts_te, y_tr, y_te, bootstrap=True, n_bootstrap=6)
+
+        row = NamedSharding(mesh8, P("data", None))
+        put = lambda t: {k: jax.device_put(jnp.asarray(v), row)  # noqa: E731
+                         for k, v in t.items()}
+        meshed = compute_encoding_scores_subject(
+            put(acts_tr), put(acts_te), put(y_tr), put(y_te),
+            bootstrap=True, n_bootstrap=6)
+
+        for r in single:
+            s, m = single[r][0], meshed[r][0]
+            assert s["layer"] == m["layer"] == "t1"
+            np.testing.assert_allclose(m["score"], s["score"], atol=1e-4)
+            np.testing.assert_allclose(m["bootstrap_scores"],
+                                       s["bootstrap_scores"], atol=1e-4)
+
+
 class TestMeshExtractor:
     def _extractor(self, mesh=None, batch_size=8):
         from visreps_tpu.models.extractor import FeatureExtractor

@@ -40,6 +40,41 @@ def _force(out) -> float:
     return float(jnp.sum(leaf))
 
 
+# v5e per-chip peak: 394 TFLOP/s bf16 (f32 via the MXU runs at a
+# fraction of this — MFU is reported against the bf16 peak so numbers
+# are comparable across dtypes and honestly low for f32 kernels).
+V5E_BF16_PEAK_FLOPS = 394e12
+
+
+def _cost_flops(fn, *args):
+    """FLOP count from XLA's cost analysis of the compiled program.
+
+    Accepts a function (jitted preferred — its .lower reuses the same
+    executable cache entry the timing loop hits) plus example args;
+    returns None when the backend doesn't expose cost analysis (never
+    fails a stage)."""
+    import jax
+
+    try:
+        lowerable = fn if hasattr(fn, "lower") else jax.jit(fn)
+        c = lowerable.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        flops = float(c.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu_fields(prefix: str, flops_per_call, seconds_per_call: float):
+    """achieved TFLOP/s + fraction of v5e bf16 peak, or {} if unknown."""
+    if not flops_per_call or seconds_per_call <= 0:
+        return {}
+    achieved = flops_per_call / seconds_per_call
+    return {f"{prefix}_tflops": round(achieved / 1e12, 2),
+            f"{prefix}_mfu": round(achieved / V5E_BF16_PEAK_FLOPS, 4)}
+
+
 def _timeit(fn, *args, warmup=1, iters=3):
     """Amortized per-call seconds: dispatch `iters` calls back-to-back
     (device queue pipelines them), then force one host fetch."""
@@ -104,7 +139,10 @@ def stage_rdm(n=10000, d=4096):
 
     x = jax.random.normal(jax.random.PRNGKey(1), (n, d))
     t = _timeit(compute_rdm, x, warmup=1, iters=2)
-    return {"rdm_ms": t * 1000, "n": n, "d": d}
+    # Gram product dominates: 2·n²·d FMA-flops (analytic — exact for
+    # the matmul; the elementwise epilogue adds O(n²)).
+    return {"rdm_ms": t * 1000, "n": n, "d": d,
+            **_mfu_fields("rdm", 2.0 * n * n * d, t)}
 
 
 def stage_rdm_pallas(n=10000, d=4096):
@@ -175,7 +213,9 @@ def stage_ridge(n=9000, d=4096, v=7604):
     """Full NSD-ventral-scale RidgeCV fit + predict."""
     import jax
 
-    from visreps_tpu.ops.ridge import ridge_cv
+    from visreps_tpu.ops.ridge import (
+        _ridge_cv_wood_impl, _woodbury_ok, default_alphas, ridge_cv,
+    )
 
     x = jax.random.normal(jax.random.PRNGKey(4), (n, d))
     w = jax.random.normal(jax.random.PRNGKey(5), (d, v)) / 64.0
@@ -185,7 +225,15 @@ def stage_ridge(n=9000, d=4096, v=7604):
         return ridge_cv(x, y).weights
 
     t = _timeit(run, warmup=1, iters=1)
-    return {"ridge_cv_s": t, "n": n, "d": d, "v": v}
+    flops = None
+    if _woodbury_ok(n, d, 5):
+        import jax.numpy as jnp
+
+        a = jnp.asarray(default_alphas(), jnp.float32)
+        # same jitted impl ridge_cv dispatched → same executable cache
+        flops = _cost_flops(_ridge_cv_wood_impl, x, y, a, 5)
+    return {"ridge_cv_s": t, "n": n, "d": d, "v": v,
+            **_mfu_fields("ridge", flops, t)}
 
 
 def stage_encoding_e2e(n_subjects=8, n_train=9000, n_test=1000, d=4096,
@@ -669,14 +717,21 @@ def stage_cross_model(n_images=256, batch_size=64, srp_k=4096, models=None,
     from visreps_tpu.analysis.cross_model_rdms import run
 
     models = models or ["AlexNet", "ViTBase", "clip-vit-l14", "dinov2-l14"]
-    pretrained = True
-    try:  # zero-egress: HF cache may be absent
-        from transformers import CLIPModel
+    # Weights come from the converted-params disk cache or the HF hub
+    # cache (zero-egress hosts need one of them pre-seeded; see
+    # models/hf_vit.converted_tower_cache_dir / VISREPS_TOWER_CACHE).
+    from visreps_tpu.models.hf_vit import converted_tower_available
 
-        CLIPModel.from_pretrained("openai/clip-vit-large-patch14",
-                                  local_files_only=True)
-    except Exception:
-        pretrained = False
+    towers = [m for m in models if "clip" in m.lower() or "dinov2" in m.lower()]
+    pretrained = all(converted_tower_available(m) for m in towers)
+    if not pretrained:
+        # LOUD downgrade (VERDICT r4 items 5/9): the measured number
+        # then never exercises real weight import on chip.
+        print("WARNING: stage_cross_model falling back to RANDOM "
+              "weights — no converted-tower or HF cache for "
+              f"{[m for m in towers if not converted_tower_available(m)]}; "
+              "seed the cache (VISREPS_TOWER_CACHE) to measure real "
+              "weight import", flush=True)
 
     out = os.path.join(tempfile.mkdtemp(prefix="bench_xmodel_"),
                        "cross_model_rdms.npz")
@@ -690,6 +745,8 @@ def stage_cross_model(n_images=256, batch_size=64, srp_k=4096, models=None,
     res = {"cross_model_rdm_s": wall, "n_models": len(models),
            "n_models_ok": n_ok, "n_images": n_images,
            "n_pair_matrices": n_pairs, "pretrained_weights": pretrained}
+    if not pretrained:
+        res["weights_unavailable"] = True  # explicit marker, not silent
     if "model_errors" in payload:
         res["model_errors"] = "; ".join(map(str, payload["model_errors"]))[:300]
     return res
@@ -866,6 +923,39 @@ def stage_kernels():
     startups; prints a cumulative JSON line after each measurement
     (same late-harvest contract as stage_workloads).
     """
+    def _pick(res, **renames):
+        out = {}
+        for src, dst in renames.items():
+            if src in res and res[src] is not None:
+                out[dst] = res[src]
+        return out
+
+    def _train_bench():
+        r = stage_train()
+        out = {"train_images_per_sec_per_chip": round(
+            r["train_images_per_sec"], 1),
+            **_pick(r, train_step_tflops="train_step_tflops",
+                    train_step_mfu="train_step_mfu")}
+        # VERDICT r4 item 7: f32 step under 20% of the bf16 peak → A/B
+        # the bfloat16-matmul step (f32 master params/stats).
+        if r.get("train_step_mfu", 1.0) < 0.2:
+            rb = stage_train(compute_dtype="bf16")
+            out["train_bf16_images_per_sec"] = round(
+                rb["train_images_per_sec"], 1)
+            out.update(_pick(rb, train_step_mfu="train_bf16_mfu"))
+        return out
+
+    def _rdm_bench():
+        r = stage_rdm()
+        return {"rdm_10kx10k_ms": round(r["rdm_ms"], 1),
+                **_pick(r, rdm_tflops="rdm_tflops", rdm_mfu="rdm_mfu")}
+
+    def _ridge_bench():
+        r = stage_ridge()
+        return {"ridge_cv_s": round(r["ridge_cv_s"], 2),
+                **_pick(r, ridge_tflops="ridge_tflops",
+                        ridge_mfu="ridge_mfu")}
+
     sub = [
         ("kendall", lambda: {"kendall_bootstraps_per_sec": round(
             stage_bootstrap(method="kendall", chunk=250)["bootstraps_per_sec"], 1)}),
@@ -879,9 +969,9 @@ def stage_kernels():
             "rdm_pallas_bf16_ms": round(r["rdm_pallas_bf16_ms"], 1),
             "rdm_pallas_f32_ms": round(r["rdm_pallas_f32_ms"], 1)})(
                 stage_rdm_pallas())),
-        ("rdm", lambda: {"rdm_10kx10k_ms": round(stage_rdm()["rdm_ms"], 1)}),
-        ("train", lambda: {"train_images_per_sec_per_chip": round(
-            stage_train()["train_images_per_sec"], 1)}),
+        ("rdm", _rdm_bench),
+        ("train", _train_bench),
+        ("ridge", _ridge_bench),
         ("h2d", lambda: {"h2d_MB_per_s": round(stage_h2d()["h2d_MB_per_s"], 1)}),
         ("decode", lambda: {"host_decode_images_per_sec": round(
             stage_decode()["decode_images_per_sec"], 1)}),
@@ -1184,11 +1274,13 @@ def stage_phase1_probe(n=73000, k=4096, n_taps=14, n_sel=1000, n_regions=6,
             "per_subject_s": round(loop_s / n_subjects, 2)}
 
 
-def stage_train(batch_size=256, iters=8):
+def stage_train(batch_size=256, iters=8, compute_dtype=None):
     """CustomCNN train-step throughput (fwd+bwd+adamw, 224 images).
 
     Context: the reference trains the 87-model matrix at bs 32 on one
-    A100 within 8 h/model (SURVEY.md §6)."""
+    A100 within 8 h/model (SURVEY.md §6). compute_dtype="bf16" A/Bs
+    the bfloat16-matmul step (f32 master params/stats — trainer flag).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -1204,12 +1296,17 @@ def stage_train(batch_size=256, iters=8):
     })
     state = init_model("CustomCNN", 1000, seed=0)
     tx, _ = setup_optimizer(state.params, cfg, steps_per_epoch=100)
-    step = make_train_step(state.module, tx)
+    step = make_train_step(state.module, tx, compute_dtype=compute_dtype)
     opt = tx.init(state.params)
 
     images = jax.random.normal(jax.random.PRNGKey(0), (batch_size, 224, 224, 3))
     labels = jnp.arange(batch_size) % 1000
     key = jax.random.PRNGKey(1)
+
+    # FLOP count BEFORE the timing loop donates the buffers; step is
+    # already jitted, so .lower hits the same executable cache entry.
+    flops = _cost_flops(step, state.params, state.batch_stats, opt,
+                        images, labels, key)
 
     params, stats = state.params, state.batch_stats
     # warmup/compile
@@ -1221,7 +1318,9 @@ def stage_train(batch_size=256, iters=8):
     _force(loss)
     t = (time.perf_counter() - t0) / iters
     return {"train_images_per_sec": batch_size / t, "step_ms": t * 1000,
-            "epoch_minutes_imagenet": 1_009_124 / (batch_size / t) / 60}
+            "epoch_minutes_imagenet": 1_009_124 / (batch_size / t) / 60,
+            "compute_dtype": compute_dtype or "f32",
+            **_mfu_fields("train_step", flops, t)}
 
 
 STAGES = {

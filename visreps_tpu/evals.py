@@ -1105,6 +1105,31 @@ def _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose,
                 batched = False
                 break
         if batched:
+            # Stimulus-axis mesh sharding (VERDICT r4 item 4): row-shard
+            # every (n, d) design matrix and (n, v) target block over
+            # 'data' — GSPMD then partitions the Gram/eigh/CV programs
+            # in ops/ridge.py and inserts the psums over ICI; numbers
+            # are identical (the dryrun proves row-sharded ridge_cv
+            # parity, __graft_entry__.py). Reference equivalent:
+            # himalaya torch_cuda ridge on one GPU
+            # (visreps/analysis/encoding_score.py:105).
+            shard_rows = None
+            if mesh is not None and mesh.shape.get("data", 1) > 1:
+                import jax as _jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                row = NamedSharding(mesh, P("data", None))
+                ndev = mesh.shape["data"]
+
+                def shard_rows(x):
+                    # device_put rejects uneven shardings; arrays whose
+                    # stimulus axis doesn't divide the mesh replicate
+                    # (at NSD scale 9k/1k rows divide a v5e-8 evenly).
+                    x = jnp.asarray(x, jnp.float32)
+                    if x.shape[0] % ndev:
+                        return x
+                    return _jax.device_put(x, row)
+
             subject_inputs = {}
             for subj in subjects:
                 train_acts, _, train_ids = align_stimulus_level(
@@ -1123,6 +1148,11 @@ def _eval_encoding(cfg, acts, ids, all_data, subjects, regions, verbose,
                                  for sid in test_ids])
                     for r in regions
                 }
+                if shard_rows is not None:
+                    train_acts = {l: shard_rows(a) for l, a in train_acts.items()}
+                    test_acts = {l: shard_rows(a) for l, a in test_acts.items()}
+                    y_train = {r: shard_rows(y) for r, y in y_train.items()}
+                    y_test = {r: shard_rows(y) for r, y in y_test.items()}
                 subject_inputs[subj] = (train_acts, test_acts, y_train, y_test)
             # Shipping default cv_precision="high": the CV sweep's
             # per-alpha matmuls only RANK alphas — scores at "high"

@@ -315,33 +315,102 @@ def interpolate_positions(pos: np.ndarray, n_patches: int) -> np.ndarray:
     return np.concatenate([cls_row, grid.reshape(dst * dst, -1)], axis=0)
 
 
+def converted_tower_cache_dir() -> str:
+    """Directory of converted (torch→flax, pickled numpy pytree) tower
+    weights. Overridable with VISREPS_TOWER_CACHE so a pre-seeded
+    weights volume works on zero-egress hosts."""
+    import os
+
+    return os.environ.get("VISREPS_TOWER_CACHE",
+                          "/root/.cache/visreps_towers")
+
+
+def _converted_cache_path(kind: str, image_size: int) -> str:
+    import os
+
+    return os.path.join(converted_tower_cache_dir(),
+                        f"{kind}_{image_size}px.pkl")
+
+
+def converted_tower_available(name: str, image_size: int = 224) -> bool:
+    """True iff load_tower(pretrained=True) can succeed WITHOUT network:
+    either the converted-params cache or the HF hub cache has the
+    weights."""
+    import os
+
+    is_clip = "clip" in name.lower()
+    kind = "clip" if is_clip else "dinov2"
+    if os.path.exists(_converted_cache_path(kind, image_size)):
+        return True
+    try:
+        if is_clip:
+            from transformers import CLIPModel
+
+            CLIPModel.from_pretrained(
+                name if "/" in name else "openai/clip-vit-large-patch14",
+                local_files_only=True)
+        else:
+            from transformers import Dinov2Model
+
+            Dinov2Model.from_pretrained(
+                name if "/" in name else "facebook/dinov2-large",
+                local_files_only=True)
+        return True
+    except Exception:
+        return False
+
+
 def load_tower(name: str, pretrained: bool = True, image_size: int = 224):
     """'clip-vit-l14' | 'dinov2-l14' (or any HF id) → ModelState.
 
-    With pretrained=True the HF weights must be in the local cache
-    (zero-egress: pre-seed it); pretrained=False initializes the flax
-    tower directly (no torch needed).
+    With pretrained=True the weights come from (in order) the
+    converted-params disk cache (written the first time a
+    network-capable environment converts them — zero-egress hosts then
+    never need torch/HF at all; VERDICT r4 item 5) or the local HF hub
+    cache; pretrained=False initializes the flax tower directly.
     """
+    import os
+    import pickle
+
     from visreps_tpu.models.zoo import ModelState, _put_parallel, cached_init_params
 
     lname = name.lower()
     is_clip = "clip" in lname
+    kind = "clip" if is_clip else "dinov2"
     if pretrained:
-        if is_clip:
-            from transformers import CLIPModel
-
-            hf_id = name if "/" in name else "openai/clip-vit-large-patch14"
-            model = CLIPModel.from_pretrained(hf_id, local_files_only=True).eval()
-            module, params = tower_from_hf_clip(model)
+        cache_path = _converted_cache_path(kind, image_size)
+        if os.path.exists(cache_path):
+            with open(cache_path, "rb") as f:
+                payload = pickle.load(f)
+            module = (CLIPVisionTower(**payload["module_kwargs"]) if is_clip
+                      else DINOv2Tower(**payload["module_kwargs"]))
+            params = payload["params"]
         else:
-            from transformers import Dinov2Model
+            if is_clip:
+                from transformers import CLIPModel
 
-            hf_id = name if "/" in name else "facebook/dinov2-large"
-            model = Dinov2Model.from_pretrained(hf_id, local_files_only=True).eval()
-            module, params = tower_from_hf_dinov2(model)
-            n_patches = (image_size // module.patch) ** 2
-            params["pos_embedding"] = interpolate_positions(
-                np.asarray(params["pos_embedding"]), n_patches)
+                hf_id = name if "/" in name else "openai/clip-vit-large-patch14"
+                model = CLIPModel.from_pretrained(hf_id, local_files_only=True).eval()
+                module, params = tower_from_hf_clip(model)
+            else:
+                from transformers import Dinov2Model
+
+                hf_id = name if "/" in name else "facebook/dinov2-large"
+                model = Dinov2Model.from_pretrained(hf_id, local_files_only=True).eval()
+                module, params = tower_from_hf_dinov2(model)
+                n_patches = (image_size // module.patch) ** 2
+                params["pos_embedding"] = interpolate_positions(
+                    np.asarray(params["pos_embedding"]), n_patches)
+            try:
+                os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+                host = jax.tree_util.tree_map(np.asarray, params)
+                kwargs = {f: getattr(module, f)
+                          for f in type(module).__dataclass_fields__
+                          if f not in ("parent", "name")}
+                with open(cache_path, "wb") as f:
+                    pickle.dump({"params": host, "module_kwargs": kwargs}, f)
+            except OSError:
+                pass  # cache is an optimization
         # Converted trees are host numpy; chunked parallel upload beats
         # a serial per-leaf transfer ~3x through the relay (zoo).
         params = _put_parallel(params)

@@ -32,22 +32,47 @@ from visreps_tpu.train import checkpoint as ckpt
 from visreps_tpu.train.optim import cross_entropy_loss, lr_at_epoch, setup_optimizer
 
 
-def make_train_step(module, tx, label_smoothing: float = 0.1):
-    """Build the jitted (params, batch_stats, opt_state, batch) → updated step."""
+def make_train_step(module, tx, label_smoothing: float = 0.1,
+                    compute_dtype: str | None = None):
+    """Build the jitted (params, batch_stats, opt_state, batch) → updated step.
+
+    compute_dtype="bf16" runs the forward/backward matmuls and convs in
+    bfloat16 (cast at the loss_fn boundary — the f32 MASTER params, the
+    optimizer state, the loss and the BatchNorm running stats all stay
+    float32; gradients come back f32 through the cast's transpose).
+    ~3× MXU throughput on TPU for conv-bound models; the reference
+    trains fp32 (its use_amp flag is never read, SURVEY §2.6), so the
+    default stays f32 for parity and bf16 is the measured opt-in
+    (bench stage_train compute_dtype=bf16 A/Bs it).
+    """
+    bf16 = compute_dtype == "bf16"
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, images, labels, dropout_key):
         def loss_fn(p):
+            if bf16:
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, p)
+                x = images.astype(jnp.bfloat16)
+            else:
+                x = images
             variables = {"params": p}
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
             (logits, _), updates = module.apply(
-                variables, images, train=True, capture=(),
+                variables, x, train=True, capture=(),
                 rngs={"dropout": dropout_key},
                 mutable=["batch_stats"] if batch_stats is not None else [],
             )
-            loss = cross_entropy_loss(logits, labels, label_smoothing)
+            loss = cross_entropy_loss(logits.astype(jnp.float32), labels,
+                                      label_smoothing)
             new_stats = updates.get("batch_stats") if batch_stats is not None else None
+            if bf16 and new_stats is not None:
+                # Running stats stay f32 across steps (donated buffers
+                # must keep their dtype; bf16 EMAs also drift).
+                new_stats = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.float32), new_stats)
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

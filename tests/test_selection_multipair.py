@@ -110,9 +110,22 @@ def test_compute_rsa_bootstrap_exact_ties_consistency(rng):
     # CI must bracket sensibly around the exact point score
     assert res["ci_low"] <= res["score"] + 1e-6
 
-    res2 = compute_rsa(cfg, make(n_train, False), make(n_test, False),
-                       bootstrap=True, n_bootstrap=50)[0]
-    assert res2["bootstrap_exact_ties"] is False
+    # Round 5: the default Spearman path is the FUSED single-pair
+    # program (ops/bootstrap.single_pair_scoring), which is always
+    # average-tie exact — tie-free data too (identical values there) —
+    # so the flag reports True without a tie-detection round-trip.
+    sel2, ev2 = make(n_train, False), make(n_test, False)
+    res2 = compute_rsa(cfg, sel2, ev2, bootstrap=True, n_bootstrap=50)[0]
+    assert res2["bootstrap_exact_ties"] is True
+    # An explicit bootstrap_exact_ties=False still forces the unfused
+    # dense-rank kernel and reports it; on tie-free data the scores are
+    # identical to the fused average-tie program.
+    cfg_dense = Config({"compare_method": "spearman", "analysis": "rsa",
+                        "bootstrap_exact_ties": False})
+    res3 = compute_rsa(cfg_dense, sel2, ev2, bootstrap=True, n_bootstrap=50)[0]
+    assert res3["bootstrap_exact_ties"] is False
+    np.testing.assert_allclose(res3["bootstrap_scores"],
+                               res2["bootstrap_scores"], atol=1e-5)
 
 
 def test_fused_matches_unfused(pair_fixture, rng):

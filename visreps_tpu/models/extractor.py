@@ -213,16 +213,25 @@ class FeatureExtractor:
 
         self._srp_step_super_exact = _srp_step_super_exact
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def _exact_write(store, rows, dst):
-            # Scatter one group's retained exact tap rows into the
-            # preallocated (n_exact + 1, D) per-tap store; padded slots
-            # carry dst = n_exact (the dump row). Donated, its own tiny
-            # program — same split-program rationale as _store_write.
-            return {name: store[name].at[dst].set(rows[name])
-                    for name in store}
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def _store_write_exact(store, exact_store, outs, ex_rows, offset, dst):
+            # One donated program per group writes BOTH stores: the
+            # batch's SRP rows in place at `offset`, and the retained
+            # exact tap rows scattered to their final positions (padded
+            # slots carry dst = n_exact, the dump row). Fusing the two
+            # writes halves the per-group write dispatches — dispatch
+            # COUNT is the host-side lever through the relay.
+            new_store = {
+                name: jax.lax.dynamic_update_slice(
+                    store[name], outs[name].astype(store[name].dtype),
+                    (offset, 0))
+                for name in store
+            }
+            new_exact = {name: exact_store[name].at[dst].set(ex_rows[name])
+                         for name in exact_store}
+            return new_store, new_exact
 
-        self._exact_write = _exact_write
+        self._store_write_exact = _store_write_exact
 
         @partial(jax.jit, donate_argnums=(0,))
         def _store_write(store, outs, offset):
@@ -431,6 +440,10 @@ class FeatureExtractor:
         order (the expected full id sequence), exact_ids) or None when
         the loader's order is unknowable or nothing matches.
         """
+        if jax.process_count() > 1:
+            # Multi-host feeds shard each batch per process; the
+            # host-local key sequence no longer matches the global plan.
+            return None
         ds = getattr(loader, "dataset", None)
         keys_sorted = getattr(ds, "keys", None)
         if not keys_sorted:
@@ -628,14 +641,15 @@ class FeatureExtractor:
                         out, ex = self._srp_step_exact(
                             self.state.variables, proj, xd,
                             jnp.asarray(keeps_all[g_idx, 0]), out_bf16=True)
-                    exact_store = self._exact_write(
-                        exact_store, ex, jnp.asarray(dsts_all[g_idx]))
+                    acts, exact_store = self._store_write_exact(
+                        acts, exact_store, out, ex, offset,
+                        jnp.asarray(dsts_all[g_idx]))
                     dispatch_s += _time.perf_counter() - t
                 else:
                     out = _step(xd)  # counts its own dispatch_s
-                t = _time.perf_counter()
-                acts = self._store_write(acts, out, offset)
-                dispatch_s += _time.perf_counter() - t
+                    t = _time.perf_counter()
+                    acts = self._store_write(acts, out, offset)
+                    dispatch_s += _time.perf_counter() - t
                 offset += rows
                 g_idx += 1
             del proj

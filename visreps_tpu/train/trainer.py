@@ -165,7 +165,12 @@ class Trainer:
         )
         self.tx, self.schedule = setup_optimizer(self.state.params, cfg, steps_per_epoch, mask)
         self.opt_state = self.tx.init(self.state.params)
-        self.train_step = make_train_step(self.state.module, self.tx)
+        # train_compute_dtype="bf16" opts into bfloat16 matmul compute
+        # (f32 master params/opt/BN stats); default f32 — the reference
+        # trains fp32 (its use_amp flag is never read, SURVEY §2.6).
+        self.train_step = make_train_step(
+            self.state.module, self.tx,
+            compute_dtype=cfg.get("train_compute_dtype"))
         self.eval_step = make_eval_step(self.state.module)
         self.global_step = 0
 

@@ -654,29 +654,25 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
 
     test_order = [sid for sid in shared_test_ids if sid in stimuli]
     retained = getattr(extractor, "exact_store", None)
-    use_retained = (retained is not None
-                    and not cfg.get("reconstruct_from_pcs")
-                    and extractor.exact_ids == test_order
-                    and all(l in retained for l in unique_layers))
-    if use_retained:
-        # The bulk pass already kept the shared-test rows' exact bf16
-        # taps (VERDICT r4 item 3) — no second pass over the stimuli:
-        # drop the unselected taps, build every RDM in one program.
+    retained_ok = (retained is not None
+                   and not cfg.get("reconstruct_from_pcs")
+                   and extractor.exact_ids == test_order)
+    # Retention is BUDGETED (the largest taps — conv1-scale — are not
+    # kept; VISREPS_EXACT_RETAIN_MB), so the retained store may cover
+    # only some of the selected layers: build those RDMs straight from
+    # it and re-extract only the missing ones.
+    covered = [l for l in unique_layers if retained_ok and l in retained]
+    missing = [l for l in unique_layers if l not in covered]
+    exact_all = {l: retained[l] for l in covered}
+    extractor.exact_store = None  # free the unselected retained taps
+    del retained
+    if covered:
         rprint(
-            f"  Using retained exact taps for {len(unique_layers)} layers "
-            f"({len(test_order)} test stimuli, no second pass)",
-            style="success")
-        exact_all = {l: retained[l] for l in unique_layers}
-        extractor.exact_store = None  # free the ~12 unselected taps
-        del retained
-        if sharded_rdm:
-            model_rdms = {l: _rdm(exact_all.pop(l), mesh, cfg)
-                          for l in unique_layers}
-        else:
-            model_rdms = _jax.jit(
-                lambda d: {k: compute_rdm(v) for k, v in d.items()})(exact_all)
-            exact_all = {}
-    else:
+            f"  Using retained exact taps for {len(covered)}/"
+            f"{len(unique_layers)} selected layers "
+            f"({len(test_order)} test stimuli)", style="success")
+
+    if missing:
         test_stimuli = {sid: stimuli[sid] for sid in shared_test_ids if sid in stimuli}
         transform = get_transform("imgnet")
         # Phase 2 runs full-resolution (no SRP) taps: at batch 512 the
@@ -688,35 +684,38 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
                                       min(int(cfg.batchsize), 256),
                                       cfg.get("num_workers", 16))
         rprint(f"  Test dataloader: {len(test_stimuli)} stimuli", style="success")
-        # One pass over the test stimuli computes every unique selected
+        # One pass over the test stimuli computes every missing selected
         # layer (reference re-extracts per layer, evals.py:286-301 — that
         # multiplies the host decode + H2D cost by the layer count).
-        rprint(f"  Re-extracting {len(unique_layers)} unique layers (one pass)...",
+        rprint(f"  Re-extracting {len(missing)} unique layers (one pass)...",
                style="info")
-        exact_store = "device" if _jax.default_backend() != "cpu" else "host"
-        exact_all, _ = extractor.extract_layers_exact(
-            dl_test, unique_layers, shared_test_ids, store=exact_store,
+        exact_store_kind = "device" if _jax.default_backend() != "cpu" else "host"
+        fetched, _ = extractor.extract_layers_exact(
+            dl_test, missing, shared_test_ids, store=exact_store_kind,
             batch_size=min(int(cfg.batchsize), 256))
-        if not cfg.get("reconstruct_from_pcs") and not sharded_rdm:
-            # All per-layer RDMs in ONE program: each is a trivial matmul
-            # (N² × D on the MXU), so the per-layer dispatch round-trips —
-            # not the FLOPs — dominate through a relay-attached host.
-            # (No donation: the (n, n) outputs cannot alias the big f32
-            # inputs, so XLA rejects it — freeing happens at exact_all={}.)
-            model_rdms = _jax.jit(
-                lambda d: {k: compute_rdm(v) for k, v in d.items()})(exact_all)
-            exact_all = {}
-        else:
-            model_rdms = {}
-            for layer in unique_layers:
-                exact_acts = exact_all.pop(layer)
-                if cfg.get("reconstruct_from_pcs"):
-                    exact_acts = np.asarray(reconstruct_from_pcs({layer: exact_acts}, pca_k)[layer])
-                    rprint(f"    Reconstructed from {pca_k} PCs", style="info")
-                model_rdms[layer] = _rdm(exact_acts, mesh, cfg)
-                del exact_acts
+        exact_all.update(fetched)
+
+    if not cfg.get("reconstruct_from_pcs") and not sharded_rdm:
+        # All per-layer RDMs in ONE program: each is a trivial matmul
+        # (N² × D on the MXU), so the per-layer dispatch round-trips —
+        # not the FLOPs — dominate through a relay-attached host.
+        # (No donation: the (n, n) outputs cannot alias the big f32
+        # inputs, so XLA rejects it — freeing happens at exact_all={}.)
+        model_rdms = _jax.jit(
+            lambda d: {k: compute_rdm(v) for k, v in d.items()})(exact_all)
+        exact_all = {}
+    else:
+        model_rdms = {}
+        for layer in unique_layers:
+            exact_acts = exact_all.pop(layer)
+            if cfg.get("reconstruct_from_pcs"):
+                exact_acts = np.asarray(reconstruct_from_pcs({layer: exact_acts}, pca_k)[layer])
+                rprint(f"    Reconstructed from {pca_k} PCs", style="info")
+            model_rdms[layer] = _rdm(exact_acts, mesh, cfg)
+            del exact_acts
     LAST_PHASE_TIMES["phase2_extract_s"] = _time.perf_counter() - _t0
-    LAST_PHASE_TIMES["phase2_retained"] = float(use_retained)
+    LAST_PHASE_TIMES["phase2_retained"] = (
+        len(covered) / len(unique_layers) if unique_layers else 0.0)
     _t0 = _time.perf_counter()
 
     # ── Per-(region, subject) scoring + save ───────────────────

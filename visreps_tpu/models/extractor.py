@@ -160,24 +160,28 @@ class FeatureExtractor:
 
         self._srp_step = partial(jax.jit, static_argnames=("out_bf16",))(_srp_body)
 
-        def _srp_body_exact(variables, proj, x, keep, out_bf16=False):
+        def _srp_body_exact(variables, proj, x, keep, exact_points,
+                            out_bf16=False):
             # Same forward + SRP, ADDITIONALLY gathering the exact
             # (full-resolution, no-SRP) tap rows of the `keep` indices
-            # as bf16 — phase-2 test-row retention (VERDICT r4 item 3):
+            # as bf16 for the taps in `exact_points` (a budgeted
+            # subset) — phase-2 test-row retention (VERDICT r4 item 3):
             # the ~1k shared-test rows are kept during the bulk pass so
             # the eval never re-reads / re-uploads / re-forwards them.
             flats = _flat_taps(variables, x)
             out, exact = {}, {}
             for p in points:
                 flat = flats[p]
-                exact[alias[p]] = jnp.take(
-                    flat, keep, axis=0).astype(jnp.bfloat16)
+                if p in exact_points:
+                    exact[alias[p]] = jnp.take(
+                        flat, keep, axis=0).astype(jnp.bfloat16)
                 o = srp_apply_chunked(flat, proj[str(flat.shape[1])])
                 out[alias[p]] = o.astype(jnp.bfloat16) if out_bf16 else o
             return out, exact
 
         self._srp_step_exact = partial(
-            jax.jit, static_argnames=("out_bf16",))(_srp_body_exact)
+            jax.jit, static_argnames=("exact_points", "out_bf16"))(
+                _srp_body_exact)
 
         @partial(jax.jit, static_argnames=("out_bf16",))
         def _srp_step_super(variables, proj, xs, out_bf16=False):
@@ -194,8 +198,9 @@ class FeatureExtractor:
 
         self._srp_step_super = _srp_step_super
 
-        @partial(jax.jit, static_argnames=("out_bf16",))
-        def _srp_step_super_exact(variables, proj, xs, keeps, out_bf16=False):
+        @partial(jax.jit, static_argnames=("exact_points", "out_bf16"))
+        def _srp_step_super_exact(variables, proj, xs, keeps, exact_points,
+                                  out_bf16=False):
             # Super-batched twin of _srp_body_exact: keeps is (K, max_k)
             # per-sub-batch row indices (zero-padded; pads target the
             # exact store's dump row downstream). The (K, max_k, D)
@@ -203,7 +208,8 @@ class FeatureExtractor:
             # the lax.map and flatten to (K·max_k, D) for the scatter.
             def one(args):
                 x, keep = args
-                return _srp_body_exact(variables, proj, x, keep, out_bf16)
+                return _srp_body_exact(variables, proj, x, keep,
+                                       exact_points, out_bf16)
 
             outs, exact = jax.lax.map(one, (xs, keeps))
             return (
@@ -600,13 +606,36 @@ class FeatureExtractor:
                 exact_plan = self._exact_retain_plan(
                     loader, exact_retain_ids, k_super)
             exact_store = None
+            exact_points = ()
             if exact_plan is not None:
                 keeps_all, dsts_all, plan_order, plan_ids = exact_plan
                 n_exact = len(plan_ids)
-                # +1 dump row for the zero-padded kept slots
-                exact_store = {
-                    name: jnp.zeros((n_exact + 1, d), jnp.bfloat16)
-                    for name, d in self.tap_dims.items()}
+                # Budgeted retention, smallest tap dims first: the full
+                # 14-tap store (~0.9 GB bf16 at NSD scale, conv1_pre/
+                # post alone ~86% of ΣD) tipped extraction over a
+                # 15.75 GB chip whose bulk store + projections +
+                # in-flight uploads already ride the ceiling (measured
+                # RESOURCE_EXHAUSTED at the fused store write). Taps
+                # over the budget are simply not retained — phase 2
+                # re-extracts only those if selected.
+                budget = float(os.environ.get(
+                    "VISREPS_EXACT_RETAIN_MB", "192")) * 1e6
+                kept_names, used = [], 0.0
+                for name, d in sorted(self.tap_dims.items(),
+                                      key=lambda kv: kv[1]):
+                    cost = 2.0 * (n_exact + 1) * d
+                    if used + cost > budget:
+                        continue
+                    kept_names.append(name)
+                    used += cost
+                if kept_names:
+                    # +1 dump row for the zero-padded kept slots
+                    exact_store = {
+                        name: jnp.zeros((n_exact + 1, self.tap_dims[name]),
+                                        jnp.bfloat16)
+                        for name in kept_names}
+                    exact_points = tuple(
+                        p for p in self.points if self.alias[p] in exact_store)
             group = k_super * self.batch_size
             n_pad = -(-n_total // group) * group
             acts = {name: jnp.zeros((n_pad, d), jnp.bfloat16)
@@ -636,11 +665,13 @@ class FeatureExtractor:
                     if xd.ndim == 5:
                         out, ex = self._srp_step_super_exact(
                             self.state.variables, proj, xd,
-                            jnp.asarray(keeps_all[g_idx]), out_bf16=True)
+                            jnp.asarray(keeps_all[g_idx]),
+                            exact_points=exact_points, out_bf16=True)
                     else:
                         out, ex = self._srp_step_exact(
                             self.state.variables, proj, xd,
-                            jnp.asarray(keeps_all[g_idx, 0]), out_bf16=True)
+                            jnp.asarray(keeps_all[g_idx, 0]),
+                            exact_points=exact_points, out_bf16=True)
                     acts, exact_store = self._store_write_exact(
                         acts, exact_store, out, ex, offset,
                         jnp.asarray(dsts_all[g_idx]))

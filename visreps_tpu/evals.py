@@ -692,7 +692,7 @@ def _eval_rsa(cfg, extractor, acts, ids, all_data, subjects, regions, verbose,
         exact_store_kind = "device" if _jax.default_backend() != "cpu" else "host"
         fetched, _ = extractor.extract_layers_exact(
             dl_test, missing, shared_test_ids, store=exact_store_kind,
-            batch_size=min(int(cfg.batchsize), 256))
+            batch_size=min(int(cfg.batchsize), 256), stable_signature=True)
         exact_all.update(fetched)
 
     if not cfg.get("reconstruct_from_pcs") and not sharded_rdm:
@@ -937,7 +937,8 @@ def _eval_rsa_nsd_synthetic(cfg, subjects, regions, verbose, mesh=None) -> List[
 
     exact_store = "device" if _jax.default_backend() != "cpu" else "host"
     exact_all, _ = extractor.extract_layers_exact(
-        dl_test, unique_layers, test_ids, store=exact_store)
+        dl_test, unique_layers, test_ids, store=exact_store,
+        stable_signature=True)
     sharded_rdm = (mesh is not None and
                    len(test_ids) >= cfg.get("rdm_shard_threshold", 4096))
     if not cfg.get("reconstruct_from_pcs") and not sharded_rdm:

@@ -799,7 +799,8 @@ class FeatureExtractor:
         return acts, ids
 
     def extract_layers_exact(self, loader: Iterable, layer_names, stimulus_ids=None,
-                             store: str = "host", batch_size: int | None = None):
+                             store: str = "host", batch_size: int | None = None,
+                             stable_signature: bool = False):
         """Full-resolution activations for SEVERAL taps in ONE pass.
 
         Phase-2 re-extraction in the reference runs one forward pass
@@ -817,6 +818,13 @@ class FeatureExtractor:
         bulk batch — full-resolution taps at batch 512 hold ~2 GB of
         live f32 per program and measured ~4x slower tails on a 16 GB
         chip, so phase-2 callers cap this at 256.
+        stable_signature=True captures ALL the extractor's tap points
+        in the forward program regardless of which layers were
+        requested (only the requested ones are accumulated; the rest
+        are dropped per batch). The selected-layer set varies run to
+        run, and each distinct capture tuple is a fresh ~20-30 s
+        remote-relay compile — the all-points program compiles ONCE
+        ever and then always hits the persistent compilation cache.
         """
         point_of = {}
         for name in layer_names:
@@ -828,6 +836,7 @@ class FeatureExtractor:
                 raise KeyError(
                     f"Layer {name!r} not among extraction points {self.points}")
         points = tuple(dict.fromkeys(point_of.values()))
+        capture = tuple(self.points) if stable_signature else points
 
         parts: dict[str, list] = {p: [] for p in points}
         ns: list[int] = []
@@ -850,7 +859,7 @@ class FeatureExtractor:
 
         for xd, keys, n in self._device_feed(loader, pad_to=batch_size):
             all_ids.extend(keys)
-            cur = (self._multi_step(self.state.variables, xd, points), n)
+            cur = (self._multi_step(self.state.variables, xd, capture), n)
             if pending is not None:
                 drain(*pending)
             pending = cur

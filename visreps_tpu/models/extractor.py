@@ -359,7 +359,14 @@ class FeatureExtractor:
         from concurrent.futures import ThreadPoolExecutor
 
         if depth is None:
-            depth = int(os.environ.get("VISREPS_FEED_DEPTH", "4"))
+            env_depth = os.environ.get("VISREPS_FEED_DEPTH")
+            if env_depth is not None:
+                depth = int(env_depth)
+            else:
+                # Keep in-flight upload bytes ~constant across
+                # superbatch sizes (K·B·img_bytes·depth ≈ 1.2 GB at the
+                # NSD shape): K=8 stacks 616 MB per upload, so queue 2.
+                depth = 4 if superbatch <= 4 else 2
         if threads is None:
             threads = int(os.environ.get("VISREPS_FEED_THREADS", "3"))
         import time as _time
@@ -575,15 +582,16 @@ class FeatureExtractor:
         # off the retention path: retention computes per-batch kept-row
         # indices that assume single-batch granularity. Multi-host mesh
         # feeds also stay at K=1 (put_global_batch shards per batch).
-        # Default K=4: dispatch round-trips dominate extraction whenever
-        # the relay degrades (measured same-code e2e dispatch walls of
-        # 8.8 s → 533 s across windows; at K=4 the 73k extraction is
-        # 2×36 dispatches instead of 2×143, and a degraded-window A/B
-        # measured 340 s vs 352 s WITH K=4's first-compile included —
-        # the healthy-window cost is a few extra zero-padded batches).
+        # Default K=8: dispatch round-trips dominate extraction whenever
+        # the relay degrades (same-code e2e dispatch walls of 8.8 s →
+        # 550 s across windows; dispatch cost is count-linear). A
+        # same-window r5 A/B at 73k measured K=8/depth=2 extraction
+        # 195.8 s (dispatch 62.5) vs K=4/depth=4 285.1 s (dispatch
+        # 158.1), WITH K=8's first compile included; the feed keeps
+        # in-flight upload bytes constant by queueing 2 stacks deep.
         k_super = 1
         if retain_ids is None and self._batch_sharding is None:
-            k_super = max(1, int(os.environ.get("VISREPS_SUPERBATCH", "4")))
+            k_super = max(1, int(os.environ.get("VISREPS_SUPERBATCH", "8")))
 
         # Device-store fast path: preallocate the full (N_pad, k) bf16
         # store per tap and have ONE program (forward + SRP + donated
